@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the engine's headline queries and prints ONE
+JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default: all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_nonrat_annotation_pipeline_spark.plans.registry import all_queries
+from go_nonrat_annotation_pipeline_spark.session import get_spark
+
+# Representative heavy-path queries (scan-heavy agg, dispatch join, cascade,
+# anti/semi joins, consolidation, upsert, window, dedup/similarity/text once
+# registered). Anything listed here but not yet registered is skipped.
+HEADLINE = [
+    "q1_pricing_summary",
+    "j01_multikey_dispatch_match",
+    "j02_fallback_cascade",
+    "j09_exclusion_anti_join",
+    "j12_active_semi_join",
+    "a3_withinfo_consolidate",
+    "a4_duplicate_merge",
+    "a7_upsert_classification",
+    "j04_history_resolution",
+    "w1_topk_per_group",
+    "w2_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    registry = all_queries()
+
+    # warm the JVM + parquet footers once (not timed)
+    registry["q1_pricing_summary"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

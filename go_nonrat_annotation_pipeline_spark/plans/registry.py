@@ -1,0 +1,56 @@
+"""Driver-facing query registry.
+
+Each entry demonstrates one operator from SURVEY.md §2 (or a north-star
+extension) as a (PySpark callable, DuckDB oracle SQL) pair over the
+driver's synthetic tables (TESTDATA.md). The driver runs both at sf0.01
+and hash-compares row-count + schema + values (CORRECTNESS_r{N}.json).
+
+Float discipline: aggregates over double columns are computed in DECIMAL
+in BOTH engines (exact arithmetic → bit-identical results), then cast to
+a fixed decimal type aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Q:
+    """One registered query: Spark implementation + DuckDB oracle."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → driver records rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = Q(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Q]:
+    # import side-effect populates the registry
+    from . import (  # noqa: F401
+        queries_relational,
+        queries_consolidate,
+        queries_closure,
+        queries_upsert,
+        queries_window,
+        queries_dedup,
+        queries_similarity,
+        queries_text,
+        queries_streaming,
+        queries_multimodal,
+    )
+
+    return dict(_REGISTRY)
