@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale training-data pipelines
+(north-star extensions, BASELINE.json).
+
+All operators are DataFrame-in/DataFrame-out, JVM-side (higher-order
+functions, no Python UDFs), and designed for 100 TB posture:
+
+- exact dedup: one hash-groupBy shuffle on the content hash;
+- MinHash-LSH: shingle→signature map-side, candidate generation via a
+  band-bucket equi-join (shuffle on (band, sig) — skew-safe since bucket
+  sizes are tiny at real thresholds), pairwise verify only on candidates;
+- SimHash: signature map-side, no shuffle;
+- n-gram Jaccard: bucketed self-join (bucket keys bound the pair blowup);
+- embedding near-dup: bucketed (or full) self-join with JVM vector math.
+
+Cross-engine-deterministic hashing from functions/hashing.py so the
+DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+from .util import ensure_parallelism
+
+N_BANDS = 4
+ROWS_PER_BAND = 2  # N_BANDS * ROWS_PER_BAND == len(H.MINHASH_COEFFS)
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on a content-hash key: canonical = min(id) per group.
+
+    Adds `canonical_id` and `is_dup` columns. Single hash-partition
+    shuffle on the md5 key; at 100 TB this is the minimal exact-dedup
+    plan (combine-enabled min aggregate, then a broadcast-free co-
+    partitioned join back).
+    """
+    hashed = df.withColumn("_k", F.md5(key))
+    canon = hashed.groupBy("_k").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, "_k")
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+        .drop("_k")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Add `sh`: distinct n-gram shingle hashes of the text's words."""
+    wh = H.word_hashes(F.split(F.col(text_col), " "))
+    return df.withColumn("sh", F.array_distinct(H.shingle_hashes(wh, n)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    verify_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified by true Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    """
+    docs = (
+        shingle_sets(
+            ensure_parallelism(df.select(id_col, text_col)), text_col, n_shingle
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("sig", H.minhash_signature(F.col("sh")))
+        .select(F.col(id_col).alias("_id"), "sh", "sig")
+        # materialize once: the signature chain feeds three consumers
+        # (band explode + both verify sides) — without this the whole
+        # hash computation re-runs per consumer
+        .localCheckpoint()
+    )
+    # band rows: (band_idx, h1..h_r) per doc — the LSH bucket key
+    bands = docs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        *[
+                            F.element_at("sig", b * ROWS_PER_BAND + r + 1).alias(f"h{r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.*")
+
+    left = bands.select(F.col("_id").alias("id_a"), "b", "h0", "h1")
+    right = bands.select(F.col("_id").alias("id_b"), "b", "h0", "h1")
+    cand = (
+        left.join(right, ["b", "h0", "h1"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = docs.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_raw", inter / union.cast("double"))
+        .where(F.col("jaccard_raw") >= verify_threshold)
+        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash signature over word hashes (frequency-weighted).
+
+    Pure map-side computation (unrolled per-bit aggregates, all inside
+    whole-stage codegen); returns (id_col, simhash).
+    """
+    wh = H.word_hashes(F.split(F.col(text_col), " "))
+    out = ensure_parallelism(df.select(id_col, F.col(text_col))).select(
+        id_col, wh.alias("wh")
+    )
+
+    def _bit_merge(pw: int):
+        # closure (not default-arg) so F.aggregate sees a 2-arg lambda;
+        # (h div pw) % 2 extracts bit b without shiftright-on-column
+        return lambda acc, h: acc + 2 * ((h / F.lit(pw)).cast("long") % 2) - 1
+
+    sig = None
+    for b in range(bits):
+        pw = 1 << b
+        bit_sum = F.aggregate(
+            F.col("wh"), F.lit(0).cast("long"), _bit_merge(pw)
+        )
+        contrib = F.when(bit_sum > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = contrib if sig is None else sig + contrib
+    return out.select(id_col, sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard within buckets (bounded self-join)."""
+    docs = shingle_sets(
+        ensure_parallelism(df.select(id_col, text_col, *bucket_cols)), text_col, n
+    ).where(F.size("sh") > 0).localCheckpoint()
+    a = docs.select(
+        *bucket_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        *bucket_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, bucket_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_raw", inter / union.cast("double"))
+        .where(F.col("jaccard_raw") >= threshold)
+        .select(
+            *bucket_cols, "id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns — JVM higher-order
+    fns, summation in index order (deterministic, oracle-reproducible)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    bucket_col bounds the self-join (IVF-style); None = brute force
+    (only sane at small N or as the verify stage after LSH).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    docs = df.select(F.col(id_col).alias("_id"), v.alias("v"), *([bucket_col] if bucket_col else []))
+    on = [bucket_col] if bucket_col else []
+    a = docs.select(*on, F.col("_id").alias("id_a"), F.col("v").alias("va"))
+    b = docs.select(*on, F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+    j = a.join(b, on) if on else a.crossJoin(b)
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        j.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (north-star extensions).
+
+- brute-force cosine top-k: the exact baseline (query-set × corpus join,
+  window top-k). At 100 TB the query side is small and broadcast; the
+  corpus scan stays partition-parallel with map-side JVM vector math.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures; the
+  candidate join collapses the corpus to matching buckets (shuffle on
+  the bucket key), trading recall for a ~2^bits reduction in pairs.
+  An IVF variant would swap the hash for k-means cells; the plumbing
+  (bucket column + co-partitioned join) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+LSH_MULT = 2654435761  # Knuth multiplicative constant
+LSH_MOD = 2_147_483_647
+
+
+def _hyperplane_weight(j: int, d: int) -> float:
+    """Deterministic pseudo-random weight in (-0.5, 0.5) for plane j, dim d."""
+    return ((j * 64 + d) * LSH_MULT % LSH_MOD) / LSH_MOD - 0.5
+
+
+def hyperplane_bucket(v: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-of-projection LSH bucket id (0 .. 2^n_planes-1)."""
+    bucket = None
+    for j in range(n_planes):
+        proj = sum(
+            F.element_at(v, d + 1) * F.lit(_hyperplane_weight(j, d))
+            for d in range(dim)
+        )
+        bit = F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def sql_hyperplane_bucket(v_expr: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB SQL mirror of hyperplane_bucket (same constants)."""
+    parts = []
+    for j in range(n_planes):
+        proj = " + ".join(
+            f"LIST_EXTRACT({v_expr}, {d + 1}) * ({_hyperplane_weight(j, d)!r})"
+            for d in range(dim)
+        )
+        parts.append(f"CASE WHEN ({proj}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine.
+
+    Deterministic ranking: (round(cos,6) desc, neighbor id asc).
+    """
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vc")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("vq")
+    )
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("vq"), F.col("vc")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket."""
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vc")
+    ).withColumn("bucket", hyperplane_bucket(F.col("vc"), n_planes, dim))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("vq")
+    ).withColumn("bucket", hyperplane_bucket(F.col("vq"), n_planes, dim))
+    scored = (
+        F.broadcast(qs)
+        .join(corpus, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("vq"), F.col("vc")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,15 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY if the scan is under-parallelized (e.g. a single
+    small parquet file at test SF). At real scale the input already has
+    ≥cores partitions and this is a no-op — no extra shuffle."""
+    p = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

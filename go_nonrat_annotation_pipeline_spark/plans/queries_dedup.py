@@ -1,1 +1,161 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over `documents` (north-star extensions).
+
+Every variant is oracle-checked — including MinHash-LSH, whose
+signatures are reproduced bit-for-bit in DuckDB SQL via the shared
+arithmetic in functions/hashing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..operators import dedup as D
+from ..sources.testdata import load_table
+from .registry import register
+
+_WORDS = "STRING_SPLIT(text, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy on a normalized content key)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    WITH hashed AS (
+      SELECT doc_id, MD5(SUBSTR(text, 1, 40)) AS k FROM documents
+    ), canon AS (
+      SELECT k, MIN(doc_id) AS canonical_id FROM hashed GROUP BY k
+    )
+    SELECT h.doc_id, c.canonical_id, h.doc_id <> c.canonical_id AS is_dup
+    FROM hashed h JOIN canon c ON h.k = c.k
+    """,
+    doc="dedup: exact via md5 hash-groupBy, min-id canonical",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.exact_dedup(docs, F.substring("text", 1, 40), "doc_id")
+    return out.select("doc_id", "canonical_id", "is_dup")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding with Jaccard verification
+# ---------------------------------------------------------------------------
+_SH = H.sql_shingle_hashes(H.sql_word_hashes(_WORDS))
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH shd AS (
+      SELECT doc_id, LIST_DISTINCT({_SH}) AS sh FROM documents
+    ), docs AS (
+      SELECT doc_id, sh, {H.sql_minhash_signature('sh')} AS sig
+      FROM shd WHERE LEN(sh) > 0
+    ), bands AS (
+      SELECT doc_id, b,
+             LIST_EXTRACT(sig, 2 * b + 1) AS h0,
+             LIST_EXTRACT(sig, 2 * b + 2) AS h1
+      FROM docs, UNNEST(GENERATE_SERIES(0, {D.N_BANDS - 1})) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.h0 = c.h0 AND a.h1 = c.h1 AND a.doc_id < c.doc_id
+    ), ver AS (
+      SELECT id_a, id_b,
+             CAST(LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s))) AS DOUBLE)
+               / (LEN(x.sh) + LEN(y.sh) - LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s)))) AS j
+      FROM cand JOIN docs x ON x.doc_id = cand.id_a JOIN docs y ON y.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM ver WHERE j >= 0.7
+    """,
+    doc="dedup: MinHash(k=8) + 4×2 LSH banding + Jaccard≥0.7 verify",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.7)
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (map-side only)
+# ---------------------------------------------------------------------------
+def _sql_simhash(bits: int = 32) -> str:
+    parts = []
+    for b in range(bits):
+        pw = 1 << b
+        bit_sum = (
+            f"LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], wh), "
+            f"(acc, h) -> acc + 2 * ((h // {pw}) % 2) - 1)"
+        )
+        parts.append(f"CASE WHEN {bit_sum} > 0 THEN CAST({pw} AS BIGINT) ELSE 0 END")
+    return " + ".join(parts)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    SELECT doc_id, {_sql_simhash()} AS simhash
+    FROM (SELECT doc_id, {H.sql_word_hashes(_WORDS)} AS wh FROM documents)
+    """,
+    doc="dedup: 32-bit SimHash signatures over word hashes",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", 32)
+
+
+# ---------------------------------------------------------------------------
+# bucketed n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+_SH2 = H.sql_shingle_hashes(H.sql_word_hashes(_WORDS), 2)
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH shd AS (
+      SELECT doc_id, lang, source, LIST_DISTINCT({_SH2}) AS sh FROM documents
+    ), docs AS (SELECT * FROM shd WHERE LEN(sh) > 0)
+    SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(LIST_FILTER(a.sh, s -> LIST_CONTAINS(b.sh, s))) AS DOUBLE)
+             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_FILTER(a.sh, s -> LIST_CONTAINS(b.sh, s)))), 6) AS jaccard
+    FROM docs a JOIN docs b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_FILTER(a.sh, s -> LIST_CONTAINS(b.sh, s))) AS DOUBLE)
+             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_FILTER(a.sh, s -> LIST_CONTAINS(b.sh, s)))) >= 0.3
+    """,
+    doc="dedup: bucketed 2-gram Jaccard pairs ≥0.3",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, ["lang", "source"], "doc_id", "text", 2, 0.3)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (brute force at test SF; the bucketed
+# variant is exercised by sim_lsh_ann in queries_similarity.py)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                 LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.v)),
+                                i -> LIST_EXTRACT(a.v, i) * LIST_EXTRACT(b.v, i))),
+                 (acc, x) -> acc + x)
+             / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                    LIST_TRANSFORM(a.v, x -> x * x)), (acc, x) -> acc + x))
+              * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                    LIST_TRANSFORM(b.v, x -> x * x)), (acc, x) -> acc + x))) AS c
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs WHERE c >= 0.45
+    """,
+    doc="dedup: embedding-cosine near-dup pairs ≥0.45",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.45, None)

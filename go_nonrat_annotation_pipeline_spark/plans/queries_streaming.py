@@ -1,1 +1,35 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming query: tumbling-window aggregation over the
+events stream, drained synchronously to a memory sink so the DuckDB
+oracle (batch date_trunc equivalent) can hash-check the result.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..streaming.stream import read_events_stream, run_to_memory, tumbling_counts
+from .registry import register
+
+
+@register(
+    "stream_tumbling_agg",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="streaming: tumbling 1h window counts/sums (memory-sink drain)",
+)
+def stream_tumbling_agg(spark, sf_dir):
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = tumbling_counts(events, "1 hour")
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
