@@ -3,12 +3,16 @@
 The dedup/similarity operators need hashes that are (a) computed JVM-side
 in Spark (no Python in the hot path) and (b) reproducible in ANSI-ish SQL
 so the DuckDB oracle can hash-match MinHash/SimHash signatures exactly.
-Built-in engine hashes differ (Spark xxhash64 vs DuckDB hash), so we use
-explicit integer arithmetic: a polynomial rolling hash over characters,
-and affine re-hashes (a*h+b mod p) for the MinHash family.
+Built-in engine hashes differ (Spark xxhash64 vs DuckDB hash), so the
+per-word hash is MD5-based: int(first 15 hex chars of md5) mod P. MD5 is
+bit-identical across engines, stays inside whole-stage codegen in Spark
+(conv/substring/md5 are all codegen expressions — a per-character
+fold via higher-order functions was ~100x slower, interpreted), and
+DuckDB casts '0x'||hex to BIGINT natively. Shingle combination and the
+MinHash affine family (a*h+b mod p) are plain integer arithmetic.
 
-All arithmetic stays < 2^63: h < P (~2^20-scale prime squared is safe),
-multipliers are small.
+All arithmetic stays < 2^63: word hashes are reduced mod P (~2^20) so
+products with small multipliers are overflow-safe.
 """
 
 from __future__ import annotations
@@ -27,17 +31,12 @@ MINHASH_COEFFS = [(2 * i + 3, 5 * i + 7) for i in range(8)]
 # Spark (Column) implementations — higher-order functions, JVM-side
 # ---------------------------------------------------------------------------
 def char_hash(s: Column) -> Column:
-    """Polynomial rolling hash of a string: fold((acc*31 + ascii(c)) % P)."""
-    chars = F.split(s, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % P,
-    )
+    """Deterministic cross-engine string hash: first 60 bits of md5, mod P."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P
 
 
 def word_hashes(words: Column) -> Column:
-    """array<string> → array<long> of per-word polynomial hashes."""
+    """array<string> → array<long> of per-word md5 hashes (mod P)."""
     return F.transform(words, char_hash)
 
 
@@ -89,12 +88,7 @@ def rolling_fingerprint(wh: Column) -> Column:
 # ---------------------------------------------------------------------------
 def sql_char_hash(expr: str) -> str:
     """DuckDB SQL for char_hash(expr)."""
-    return (
-        f"LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], "
-        f"LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH({expr})), "
-        f"i -> CAST(ASCII(SUBSTR({expr}, i, 1)) AS BIGINT))), "
-        f"(acc, c) -> (acc * 31 + c) % {P})"
-    )
+    return f"(CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT) % {P})"
 
 
 def sql_word_hashes(words_expr: str) -> str:

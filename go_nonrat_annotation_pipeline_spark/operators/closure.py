@@ -87,38 +87,41 @@ def resolve_history(
     reference's guard (rgdcore getActiveRgdIdFromHistory returns 0 on
     old==new). When a chain branches, the max successor wins, mirroring
     the reference's ``SELECT MAX(new_rgd_id)``.
+
+    Scale design: the closure is computed by POINTER DOUBLING over the
+    successor mapping alone (the history table is dimension-sized), so a
+    chain of length L converges in O(log L) tiny self-joins instead of L
+    passes over the fact ids; the fact table then takes a single
+    broadcast join against the closed map. Non-self-loop cycles cannot
+    make progress stop — the max_iterations backstop raises (the
+    reference would recurse forever on such data).
     """
-    e = (
+    succ = (
         edges.where(F.col(old_col) != F.col(new_col))
         .groupBy(F.col(old_col).alias("_old"))
         .agg(F.max(F.col(new_col)).alias("_new"))
     )
-    e = _maybe_broadcast(e.persist(), broadcast_edges)
-
-    # (orig, cur): done rows peel off when cur has no outgoing edge
-    mapping = (
-        ids.select(F.col(id_col).alias("_orig")).distinct()
-        .withColumn("_cur", F.col("_orig"))
-        .localCheckpoint()
-    )
-    done = None
+    m = succ.localCheckpoint()  # x → current known end-of-chain (distance 2^k)
 
     for _ in range(max_iterations):
-        stepped = mapping.join(e, mapping["_cur"] == e["_old"], "left").select(
-            "_orig", "_cur", "_new"
-        )
-        finished = stepped.where(F.col("_new").isNull()).select("_orig", "_cur")
-        moving = (
-            stepped.where(F.col("_new").isNotNull())
-            .select("_orig", F.col("_new").alias("_cur"))
+        nxt = m.select(F.col("_old").alias("_o2"), F.col("_new").alias("_n2"))
+        m = (
+            m.join(nxt, m["_new"] == nxt["_o2"], "left")
+            .select(
+                "_old",
+                F.coalesce("_n2", "_new").alias("_new"),
+                F.col("_n2").isNotNull().alias("_moved"),
+            )
             .localCheckpoint()
         )
-        done = finished if done is None else done.unionByName(finished)
-        done = done.localCheckpoint()
-        if moving.isEmpty():
+        if m.where("_moved").isEmpty():
             break
-        mapping = moving
     else:
         raise RuntimeError(f"history resolution did not converge in {max_iterations} iterations")
 
-    return done.select(F.col("_orig").alias(id_col), F.col("_cur").alias("resolved_id"))
+    resolved = _maybe_broadcast(m.select("_old", "_new"), broadcast_edges)
+    out = ids.select(F.col(id_col).alias("_orig")).distinct()
+    return out.join(resolved, out["_orig"] == resolved["_old"], "left").select(
+        F.col("_orig").alias(id_col),
+        F.coalesce("_new", "_orig").alias("resolved_id"),
+    )

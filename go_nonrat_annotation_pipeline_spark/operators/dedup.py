@@ -18,7 +18,7 @@ DuckDB oracle reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -64,17 +64,48 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding near-dup pairs, verified by true Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+
+    Physical strategy: the signature stage is expressed relationally —
+    posexplode words → window-lead to form n-gram shingles → two-level
+    hash aggregate (distinct shingles, then 8 min-hash aggregates +
+    collect of the shingle set) — so every hot expression stays inside
+    whole-stage codegen. The equivalent array-lambda formulation
+    (transform/aggregate higher-order fns) is interpreted row-at-a-time
+    and degrades badly in long-lived JVMs. The shuffles introduced are
+    all keyed on the doc id (window and both aggregates share the same
+    partitioning, so Spark plans ONE exchange); map-side partial
+    aggregation shrinks the exploded words back to one row per doc
+    before the wire at 100 TB.
     """
+    base = ensure_parallelism(df.select(id_col, text_col))
+    words = base.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_w"),
+    )
+    hashed = words.select("_id", "_pos", H.char_hash(F.col("_w")).alias("_h"))
+
+    win = Window.partitionBy("_id").orderBy("_pos")
+    terms = [
+        (F.col("_h") if k == 0 else F.lead("_h", k).over(win))
+        * F.lit(31 ** (n_shingle - 1 - k))
+        for k in range(n_shingle)
+    ]
+    shingled = hashed.select(
+        "_id", (sum(terms) % F.lit(H.P)).alias("_sh")
+    ).where(F.col("_sh").isNotNull())
+
     docs = (
-        shingle_sets(
-            ensure_parallelism(df.select(id_col, text_col)), text_col, n_shingle
+        shingled.distinct()  # per-doc shingle set; same partitioning as the window — no new shuffle
+        .groupBy("_id")
+        .agg(
+            F.collect_list("_sh").alias("sh"),
+            *[
+                F.min((F.col("_sh") * a + b) % H.P).alias(f"_m{i}")
+                for i, (a, b) in enumerate(H.MINHASH_COEFFS)
+            ],
         )
-        .where(F.size("sh") > 0)
-        .withColumn("sig", H.minhash_signature(F.col("sh")))
-        .select(F.col(id_col).alias("_id"), "sh", "sig")
-        # materialize once: the signature chain feeds three consumers
-        # (band explode + both verify sides) — without this the whole
-        # hash computation re-runs per consumer
+        # materialize once: feeds three consumers (band explode + both
+        # verify sides) — without this the signature stage re-runs per consumer
         .localCheckpoint()
     )
     # band rows: (band_idx, h1..h_r) per doc — the LSH bucket key
@@ -86,7 +117,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("b"),
                         *[
-                            F.element_at("sig", b * ROWS_PER_BAND + r + 1).alias(f"h{r}")
+                            F.col(f"_m{b * ROWS_PER_BAND + r}").alias(f"h{r}")
                             for r in range(ROWS_PER_BAND)
                         ],
                     )
