@@ -1,0 +1,221 @@
+"""FULL_ANNOT upsert sink (SURVEY.md §2.1 S8, §2.4 A7/A8).
+
+Reference behavior: MAHDL.handleAnnot + DAO.java:169-226 — per
+annotation: no match on the 9-field null-safe natural key → INSERT;
+match with changed NOTES / ANNOTATION_EXTENSION / GENE_PRODUCT_FORM_ID /
+ORIGINAL_CREATED_DATE → UPDATE those four columns + LAST_MODIFIED_DATE;
+match unchanged → touch LAST_MODIFIED_DATE. Stale delete
+(DAO.deleteAnnotations): candidates are pipeline-created rows not
+touched this run; ALL deletes abort when the net drop exceeds the
+configured percentage of the current count.
+
+Spark-first: the row-at-a-time JDBC upsert becomes one set-algebra
+MERGE — a single full-outer-style classification join on the null-safe
+key, rewriting the table. On a production 100 TB deployment this maps
+1:1 onto Delta Lake ``MERGE INTO`` (whenMatchedUpdate ×2 /
+whenNotMatchedInsert) with the table bucketed on the merge-key hash for
+shuffle-free merges; this repo ships a dependency-free parquet
+swap-directory implementation with identical semantics (the container
+has no Delta), exposing the same counters the reference reports.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import ANNOT_MATCH_KEY, FULL_ANNOT_SCHEMA
+
+# columns compared for the update-vs-touch decision (MAHDL.handleAnnot)
+CHANGE_COLS = [
+    "notes",
+    "annotation_extension",
+    "gene_product_form_id",
+    "original_created_date",
+]
+
+
+@dataclass
+class UpsertStats:
+    inserted: int
+    updated: int
+    touched: int
+
+
+class AnnotStore:
+    """Mutable FULL_ANNOT table backed by a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def init_empty(self) -> None:
+        empty = self.spark.createDataFrame([], FULL_ANNOT_SCHEMA)
+        self._swap_in(empty)
+
+    def seed(self, df: DataFrame) -> None:
+        self._swap_in(df.select(*[f.name for f in FULL_ANNOT_SCHEMA.fields]))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.schema(FULL_ANNOT_SCHEMA).parquet(self.path)
+
+    # -- A7 ---------------------------------------------------------------
+    def merge_upsert(self, incoming: DataFrame, run_ts) -> UpsertStats:
+        """MERGE incoming annotations on the 9-field null-safe key (J11).
+
+        incoming: FULL_ANNOT-shaped rows WITHOUT full_annot_key /
+        created_date / last_modified_date (assigned here). run_ts is the
+        run's SYSDATE equivalent — captured once so every row of a run
+        carries the same timestamp (SURVEY.md §7.4).
+        """
+        existing = self.read()
+        key_cond = [
+            existing[c].eqNullSafe(incoming[c]) for c in ANNOT_MATCH_KEY
+        ]
+        joined = existing.alias("e").join(
+            incoming.alias("i"), key_cond, "full_outer"
+        )
+
+        e_key = F.col("e.full_annot_key")
+        # evidence is NOT NULL in incoming rows → reliable presence probe
+        matched = e_key.isNotNull() & F.col("i.evidence").isNotNull()
+        changed = F.lit(False)
+        for c in CHANGE_COLS:
+            changed = changed | ~F.col(f"e.{c}").eqNullSafe(F.col(f"i.{c}"))
+
+        inserted = joined.where(e_key.isNull()).count()
+        updated = joined.where(matched & changed).count()
+        touched = joined.where(matched & ~changed).count()
+
+        ts = F.lit(run_ts).cast("timestamp")
+        max_key = (existing.agg(F.max("full_annot_key")).collect()[0][0] or 0)
+
+        out_cols = []
+        for f in FULL_ANNOT_SCHEMA.fields:
+            c = f.name
+            if c == "full_annot_key":
+                # surrogate keys: deterministic max+row_number over the merge
+                # key (values differ from the Oracle sequence; only equality/
+                # grouping semantics matter — SURVEY.md §4)
+                col = F.when(e_key.isNotNull(), e_key).otherwise(
+                    F.lit(max_key)
+                    + F.row_number().over(
+                        Window.partitionBy(F.lit(1)).orderBy(
+                            *[F.col(f"i.{k}") for k in ANNOT_MATCH_KEY]
+                        )
+                    )
+                )
+            elif c == "created_date":
+                col = F.when(e_key.isNotNull(), F.col("e.created_date")).otherwise(ts)
+            elif c == "last_modified_date":
+                # every row seen this run gets its timestamp bumped —
+                # insert, update, and touch alike (matching the reference);
+                # rows only in the existing table keep theirs
+                col = F.when(
+                    matched | e_key.isNull(), ts
+                ).otherwise(F.col("e.last_modified_date"))
+            elif c in CHANGE_COLS:
+                col = F.when(matched & changed, F.col(f"i.{c}")).otherwise(
+                    F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}"))
+                )
+            elif c in ("created_by", "last_modified_by"):
+                col = F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}"))
+            elif c in ANNOT_MATCH_KEY:
+                col = F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}"))
+            else:
+                # non-key payload (term, symbols, names, aspect, data_src...):
+                # incoming wins when present (the reference only rewrites
+                # CHANGE_COLS, but these fields are key-functional in
+                # practice); existing kept for untouched rows
+                col = F.when(matched | e_key.isNull(), F.col(f"i.{c}")).otherwise(
+                    F.col(f"e.{c}")
+                )
+            out_cols.append(col.alias(c))
+
+        new_table = joined.select(*out_cols)
+        self._swap_in(new_table)
+        return UpsertStats(inserted=inserted, updated=updated, touched=touched)
+
+    # -- A6 / J12 ---------------------------------------------------------
+    def count_for_ref(
+        self, rgd_ids: DataFrame, ref_rgd_id: int, species_type_key: int = 0
+    ) -> int:
+        """Count annots for a ref, restricted to ACTIVE annotated objects
+        (rgdcore count SQL; species_type_key=0 → all species)."""
+        active = rgd_ids.where(F.col("object_status") == "ACTIVE")
+        if species_type_key:
+            active = active.where(F.col("species_type_key") == species_type_key)
+        return (
+            self.read()
+            .where(F.col("ref_rgd_id") == ref_rgd_id)
+            .join(
+                F.broadcast(active.select("rgd_id")),
+                F.col("annotated_object_rgd_id") == F.col("rgd_id"),
+                "left_semi",
+            )
+            .count()
+        )
+
+    # -- A8 ---------------------------------------------------------------
+    def delete_stale(
+        self,
+        rgd_ids: DataFrame,
+        created_by: int,
+        cutoff_ts,
+        ref_rgd_id: int,
+        initial_count: int,
+        threshold_str: str,
+        species_type_key: int = 0,
+    ) -> int:
+        """Threshold-guarded stale delete (DAO.deleteAnnotations).
+
+        Candidates: created_by = pipeline AND last_modified < cutoff AND
+        ref_rgd_id matches (AND annotated object is of the species, when
+        given). Abort all deletes when
+        ``initial_count − (current − candidates) > pct% × current``.
+        Returns rows deleted (0 on abort).
+        """
+        pct = int(threshold_str.rstrip("%"))
+        current = self.count_for_ref(rgd_ids, ref_rgd_id, species_type_key)
+
+        table = self.read()
+        cand = table.where(
+            (F.col("created_by") == created_by)
+            & (F.col("last_modified_date") < F.lit(cutoff_ts).cast("timestamp"))
+            & (F.col("ref_rgd_id") == ref_rgd_id)
+        )
+        if species_type_key:
+            sp = rgd_ids.where(
+                (F.col("object_status") == "ACTIVE")
+                & (F.col("species_type_key") == species_type_key)
+            ).select("rgd_id")
+            cand = cand.join(
+                F.broadcast(sp),
+                F.col("annotated_object_rgd_id") == F.col("rgd_id"),
+                "left_semi",
+            )
+        n_cand = cand.count()
+        threshold = (pct * current) // 100
+        if initial_count - (current - n_cand) > threshold:
+            return 0  # abort: upstream corruption suspected (changes.txt:93-95)
+        if n_cand == 0:
+            return 0
+        remaining = table.join(
+            cand.select("full_annot_key"), "full_annot_key", "left_anti"
+        )
+        self._swap_in(remaining)
+        return n_cand
+
+    # -- storage ----------------------------------------------------------
+    def _swap_in(self, df: DataFrame) -> None:
+        """Materialize df then atomically replace the table directory.
+        (Delta's transactional commit, minus the transaction log.)"""
+        tmp = self.path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
