@@ -9,7 +9,12 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..streaming.stream import read_events_stream, run_to_memory, tumbling_counts
+from ..streaming.stream import (
+    read_events_stream,
+    run_to_memory,
+    stateful_sessions,
+    tumbling_counts,
+)
 from .registry import register
 
 
@@ -33,3 +38,30 @@ def stream_tumbling_agg(spark, sf_dir):
         "n",
         "total_value",
     )
+
+
+@register(
+    "stream_stateful_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY 1, 2
+    """,
+    doc="streaming: stateful gap sessionization (applyInPandasWithState)",
+)
+def stream_stateful_sessions(spark, sf_dir):
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(stateful_sessions(events, 30), "update")

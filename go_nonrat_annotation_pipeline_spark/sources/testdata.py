@@ -24,9 +24,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (matching DuckDB's nanos→µs truncation on the oracle side).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer div, NOT /1000: double division rounds the µs at ~1e15
+        # magnitudes (ulp 0.25) — off-by-one µs vs DuckDB's truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
 
 

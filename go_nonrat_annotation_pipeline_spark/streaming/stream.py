@@ -46,9 +46,9 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("pathGlobFilter", fname)
         .parquet(base)
     )
-    return src.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer div (see sources/testdata.load_table): double division
+    # rounds the µs at ns-epoch magnitudes
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(
@@ -66,6 +66,93 @@ def tumbling_counts(
             .alias("total_value"),
         )
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id int, n_events long, "
+    "session_start timestamp, session_end timestamp"
+)
+SESSION_STATE_SCHEMA = "last_ts timestamp, last_session int"
+
+
+def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    applyInPandasWithState (the engine's extension point for operators
+    Spark's built-ins can't express incrementally — SURVEY.md §2.5).
+
+    Each user's events are folded into sessions split on > gap_minutes
+    silence; GroupState carries (last_ts, last_session) across
+    micro-batches. Emitted rows are the per-session aggregates as of the
+    batch — with a single-batch bounded source the output is exactly the
+    batch sessionization (what the DuckDB oracle checks).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fold(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            last_ts, last_session = state.get
+            last_ts = pd.Timestamp(last_ts)
+        else:
+            last_ts, last_session = None, 0
+        new_flags = []
+        for ts in pdf["ts"]:
+            is_new = last_ts is None or (ts - last_ts) > gap
+            if is_new:
+                last_session += 1
+            new_flags.append(last_session)
+            last_ts = ts
+        pdf = pdf.assign(session_id=new_flags)
+        state.update((last_ts.to_pydatetime(), int(last_session)))
+        out = (
+            pdf.groupby("session_id", as_index=False)
+            .agg(
+                n_events=("ts", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .assign(user_id=key[0])
+        )
+        yield out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def merge_into_store(annot_stream: DataFrame, store, run_ts) -> list:
+    """Incremental-upsert bridge: stream → foreachBatch → AnnotStore MERGE.
+
+    The reference's batch dataflow is already incremental (insert /
+    update / touch / stale-delete); this maps it 1:1 onto Structured
+    Streaming — each micro-batch MERGEs into FULL_ANNOT with the same
+    9-field null-safe key semantics (SURVEY.md §7.3 step 10). Returns
+    the per-batch UpsertStats, in order.
+    """
+    stats: list = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats.append(store.merge_upsert(batch_df, run_ts))
+
+    q = annot_stream.writeStream.outputMode("append").foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stats
 
 
 def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:

@@ -1,0 +1,78 @@
+"""Physical-plan audits (the '.explain and iterate' discipline, kept
+honest in CI): filters reach the parquet scan, small dimensions
+broadcast, hot paths stay JVM-side, and projection pruning holds."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_nonrat_annotation_pipeline_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    sess = df.sparkSession
+    return sess._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return all_queries()
+
+
+def test_scan_pushdown_and_pruning(spark, registry):
+    """q1: the date filter is pushed into the parquet scan and unused
+    wide columns (l_comment) are pruned from ReadSchema."""
+    p = plan(registry["q1_pricing_summary"].spark(spark, SF))
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_shipdate)" in p or "LessThanOrEqual(l_shipdate" in p
+    assert "l_comment" not in p
+
+
+def test_dimension_joins_broadcast(spark, registry):
+    """j01 dispatch join: the xdb/gene dimension side must broadcast —
+    no shuffle of the fact side on a dimension join."""
+    p = plan(registry["j01_multikey_dispatch_match"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_join_strategy(spark, registry):
+    """j09 exclusion: anti join against the small exclusion set stays a
+    broadcast hash join."""
+    p = plan(registry["j09_exclusion_anti_join"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_no_python_in_hot_paths(spark, registry):
+    """Dedup/similarity/text kernels are JVM-side: no row-at-a-time or
+    Arrow Python UDF nodes in their plans."""
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "sim_topk_bruteforce",
+        "text_quality_score",
+        "text_fingerprint",
+    ):
+        p = plan(registry[name].spark(spark, SF))
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_multimodal_uses_arrow_batches(spark, registry):
+    """Multimodal decode is the sanctioned Python path — mapInPandas
+    (Arrow batches), never row-at-a-time BatchEvalPython."""
+    p = plan(registry["mm_binary_decode"].spark(spark, SF))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_single_shuffle_aggregation(spark, registry):
+    """q1 compiles to partial + final hash aggregate around exactly one
+    exchange — no redundant shuffles."""
+    p = plan(registry["q1_pricing_summary"].spark(spark, SF))
+    # formatted mode lists each node once in the tree and once in the
+    # detail section — one physical Exchange node ⇒ exactly one "(n) Exchange"
+    assert p.count(") Exchange") == 1
+    assert "partial_sum" in p and "HashAggregate" in p

@@ -1,0 +1,118 @@
+"""Streaming extension tests: stateful sessionization parity with the
+batch window formulation, and the foreachBatch → MERGE bridge that maps
+the reference's incremental-upsert model onto Structured Streaming."""
+
+from __future__ import annotations
+
+import os
+from datetime import date, datetime
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_nonrat_annotation_pipeline_spark import schemas as S
+from go_nonrat_annotation_pipeline_spark.sources.testdata import load_table
+from go_nonrat_annotation_pipeline_spark.streaming.stream import (
+    merge_into_store,
+    read_events_stream,
+    run_to_memory,
+    stateful_sessions,
+)
+from go_nonrat_annotation_pipeline_spark.pipeline.sink import AnnotStore
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_sessions_match_batch(spark):
+    """The applyInPandasWithState operator reproduces the batch
+    lag+cumsum sessionization exactly on a bounded source."""
+    stream_out = run_to_memory(
+        stateful_sessions(
+            read_events_stream(spark, os.path.join(SF, "events.parquet")), 30
+        ),
+        "update",
+    )
+    ev = load_table(spark, SF, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    batch = (
+        ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .select(
+            "user_id",
+            "ts",
+            F.sum("is_new")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("int")
+            .alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    assert stream_out.count() == batch.count()
+    assert stream_out.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(stream_out).isEmpty()
+
+
+INCOMING_SCHEMA = T.StructType(
+    [
+        f
+        for f in S.FULL_ANNOT_SCHEMA.fields
+        if f.name not in ("full_annot_key", "created_date", "last_modified_date")
+    ]
+)
+
+
+def _incoming_row(term_acc: str, rgd_id: int, xref: str) -> dict:
+    base = {f.name: None for f in INCOMING_SCHEMA.fields}
+    base.update(
+        term="t",
+        annotated_object_rgd_id=rgd_id,
+        rgd_object_key=1,
+        evidence="IDA",
+        term_acc=term_acc,
+        created_by=190,
+        last_modified_by=190,
+        xref_source=xref,
+        ref_rgd_id=1,
+        original_created_date=date(2024, 1, 1),
+    )
+    return base
+
+
+@pytest.fixture()
+def incoming_dir(spark, tmp_path):
+    rows = [
+        _incoming_row("GO:0000001", 101, "PMID:1"),
+        _incoming_row("GO:0000002", 102, "PMID:2"),
+    ]
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in INCOMING_SCHEMA.fields) for r in rows],
+        INCOMING_SCHEMA,
+    )
+    path = str(tmp_path / "incoming")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+def test_foreach_batch_merge(spark, tmp_path, incoming_dir):
+    store = AnnotStore(spark, str(tmp_path / "fa"))
+    store.init_empty()
+    stream = spark.readStream.schema(INCOMING_SCHEMA).parquet(incoming_dir)
+
+    stats = merge_into_store(stream, store, datetime(2026, 6, 1, 12, 0, 0))
+    assert sum(s.inserted for s in stats) == 2
+    assert store.read().count() == 2
+
+    # replay: the MERGE is idempotent — everything classifies as touch
+    stream2 = spark.readStream.schema(INCOMING_SCHEMA).parquet(incoming_dir)
+    stats2 = merge_into_store(stream2, store, datetime(2026, 6, 2, 12, 0, 0))
+    assert sum(s.inserted for s in stats2) == 0
+    assert sum(s.updated for s in stats2) == 0
+    assert sum(s.touched for s in stats2) == 2
+    assert store.read().count() == 2
