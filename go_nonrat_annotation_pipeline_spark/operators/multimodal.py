@@ -59,6 +59,81 @@ def decode_metadata(media_df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media_df.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "scale_num int, scale_den int"
+)
+
+
+def resize_images(
+    media_df: DataFrame, target: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """Arrow-batched 'resize': binary media → target-bounded dimensions.
+
+    Real pipelines decode + resample pixels here (PIL/opencv); the stub
+    derives source dims from the byte stream (same rule as
+    decode_metadata) and computes the letterboxed output size with exact
+    integer arithmetic (scale = target / max(w, h), kept as a ratio so
+    the oracle can reproduce it without float divergence).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires image libs not present in this "
+                    "environment; run with decode_stub=True"
+                )
+            n = pdf["media"].map(len)
+            w = (n % 640).astype("int64") + 1
+            h = ((n * 7) % 480).astype("int64") + 1
+            longest = w.where(w >= h, h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_width": (w * target) // longest,
+                    "out_height": (h * target) // longest,
+                    "scale_num": target,
+                    "scale_den": longest,
+                }
+            )
+
+    return media_df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+N_FEATURES = 8
+FEATURES_SCHEMA = "doc_id long, features array<float>"
+
+
+def extract_features(media_df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Arrow-batched 'feature extraction': binary media → embedding.
+
+    The real implementation runs a vision/audio encoder per Arrow batch
+    (exactly this mapInPandas shape, batched for GPU amortization); the
+    stub emits a deterministic byte-statistics vector so the pipeline —
+    schema array<float>, batch iteration, downstream ANN compatibility —
+    is fully testable.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real feature extraction requires encoder libs not present "
+                    "in this environment; run with decode_stub=True"
+                )
+            n = pdf["media"].map(len)
+            feats = [
+                [float((b * (i + 1)) % 97) / 97.0 for i in range(N_FEATURES)]
+                for b in n
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media_df.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
 def sample_frames(meta_df: DataFrame, fp_mult: int = 2654435761, fp_mod: int = 2_147_483_647) -> DataFrame:
     """Frame sampling: one row per (doc, frame_idx) with a deterministic
     per-frame fingerprint — the explode pattern a video pipeline uses."""

@@ -45,3 +45,41 @@ def mm_frame_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     meta = MM.decode_metadata(MM.to_binary_docs(docs))
     return MM.sample_frames(meta)
+
+
+@register(
+    "mm_resize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS w,
+             (OCTET_LENGTH(ENCODE(text)) * 7) % 480 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(w * 224 // GREATEST(w, h) AS INTEGER) AS out_width,
+           CAST(h * 224 // GREATEST(w, h) AS INTEGER) AS out_height,
+           224 AS scale_num, CAST(GREATEST(w, h) AS INTEGER) AS scale_den
+    FROM d
+    """,
+    doc="multimodal: letterboxed resize stub (Arrow-batched mapInPandas)",
+)
+def mm_resize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_images(MM.to_binary_docs(docs), 224)
+
+
+@register(
+    "mm_feature_extract",
+    f"""
+    SELECT doc_id,
+           LIST_TRANSFORM(GENERATE_SERIES(1, {MM.N_FEATURES}),
+             i -> CAST(CAST((OCTET_LENGTH(ENCODE(text)) * i) % 97 AS DOUBLE) / 97.0
+                  AS FLOAT)) AS features
+    FROM documents
+    """,
+    doc="multimodal: binary → embedding stub (batch encoder plumbing)",
+)
+def mm_feature_extract(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.to_binary_docs(docs))

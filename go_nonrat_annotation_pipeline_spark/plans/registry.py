@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Q]:
         queries_text,
         queries_streaming,
         queries_multimodal,
+        queries_pipeline,
     )
 
     return dict(_REGISTRY)
