@@ -15,6 +15,7 @@ Catalyst-compiled DAG per species.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
@@ -121,9 +122,15 @@ def process_species(
     store: AnnotStore,
     run_ts: datetime,
     cutoff_ts: datetime,
+    audit_dir: str | None = None,
 ) -> SpeciesReport:
     """One per-species sub-pipeline: parse → QC → consolidate → merge →
-    upsert → stale delete (GoNonratAnnotationPipeline.downloadAndProcessFiles)."""
+    upsert → stale delete (GoNonratAnnotationPipeline.downloadAndProcessFiles).
+
+    audit_dir: when set, every QC side output is persisted as
+    ``<audit_dir>/<side_name>/species_type_key=<k>/`` parquet — the
+    queryable replacement for the reference's 13 categorized log4j
+    appenders (S9, log4j2.xml:9-91)."""
     rep = SpeciesReport(species_type_key=job.species_type_key)
 
     count0 = store.count_for_ref(dims.rgd_ids, job.ref_rgd_id, job.species_type_key)
@@ -141,7 +148,14 @@ def process_species(
         spark, gaf, dims, cfg, job.species_type_key, job.ref_rgd_id
     )
     for name, df in qc.side_outputs.items():
-        rep.counters[name] = df.count()
+        if audit_dir is not None:
+            out = os.path.join(
+                audit_dir, name, f"species_type_key={job.species_type_key}"
+            )
+            df.write.mode("overwrite").parquet(out)
+            rep.counters[name] = spark.read.parquet(out).count()
+        else:
+            rep.counters[name] = df.count()
     for name, frame in qc.counter_frames.items():
         for row in frame.collect():
             rep.counters[f"{name}[{row[0]}]"] = row[-1]
@@ -169,10 +183,12 @@ def run_pipeline(
     store: AnnotStore,
     jobs: list[SpeciesJob],
     run_ts: datetime | None = None,
+    audit_dir: str | None = None,
 ) -> RunReport:
     """Full pipeline run over the given species jobs, chinchilla-style
     read-back job included by appending a job with gaf_paths=None.
-    run_ts is injectable for deterministic tests."""
+    run_ts is injectable for deterministic tests; audit_dir persists
+    every QC side output as parquet audit tables (S9)."""
     run_ts = run_ts or datetime.now()
     cutoff_ts = run_ts - timedelta(minutes=cfg.stale_cutoff_minutes)
 
@@ -186,7 +202,9 @@ def run_pipeline(
 
     for job in jobs:
         report.species.append(
-            process_species(spark, job, dims, cfg, store, run_ts, cutoff_ts)
+            process_species(
+                spark, job, dims, cfg, store, run_ts, cutoff_ts, audit_dir
+            )
         )
 
     # final rat-ISO stale delete vs the RUN-START iso count

@@ -48,9 +48,13 @@ def env(spark, tmp_path_factory):
         SpeciesJob(MOUSE, MGI_REF, cfg.mouse_sources, [gaf_path]),
         SpeciesJob(CHINCHILLA, 0, None, None),  # read-back job, always last
     ]
-    report1 = run_pipeline(spark, cfg, dims, store, jobs, run_ts=RUN1_TS)
+    audit_dir = os.path.join(root, "audit")
+    report1 = run_pipeline(
+        spark, cfg, dims, store, jobs, run_ts=RUN1_TS, audit_dir=audit_dir
+    )
     return dict(
-        spark=spark, cfg=cfg, dims=dims, store=store, jobs=jobs, report1=report1
+        spark=spark, cfg=cfg, dims=dims, store=store, jobs=jobs,
+        report1=report1, audit_dir=audit_dir,
     )
 
 
@@ -70,6 +74,21 @@ def test_counters(env):
     assert rep.counters["no_rat_gene"] == 1   # 104's only ortholog is retired
     assert rep.counters["wrong_evidence[IEA]"] == 1
     assert rep.counters["self_referencing"] == 0
+
+
+def test_audit_side_outputs_persisted(env):
+    """S9: every QC side output lands as a queryable parquet audit table
+    partitioned by species (replaces the reference's 13 log appenders)."""
+    spark = env["spark"]
+    inactive = spark.read.parquet(
+        os.path.join(env["audit_dir"], "inactive", "species_type_key=2")
+    )
+    assert inactive.count() == 1
+    assert inactive.collect()[0].db_object_id == "MGI:RETIRED1"
+    wrong = spark.read.parquet(
+        os.path.join(env["audit_dir"], "wrong_species", "species_type_key=2")
+    )
+    assert [r.gene_rgd_id for r in wrong.collect()] == [301]
 
 
 def test_upsert_classification(env):
