@@ -210,6 +210,28 @@ class AnnotStore:
         self._swap_in(remaining)
         return n_cand
 
+    # -- 100 TB layout ----------------------------------------------------
+    def save_bucketed(
+        self,
+        table_name: str = "full_annot_bucketed",
+        n_buckets: int = 32,
+        keys: tuple[str, ...] = ("term_acc", "annotated_object_rgd_id"),
+    ) -> None:
+        """Materialize the table bucketed + sorted on the leading merge-key
+        columns. A MERGE/classification join against a table laid out this
+        way needs NO exchange or sort on the table side — only the
+        (much smaller) incoming batch shuffles (SURVEY.md §4: "bucket
+        full_annot by the merge-key hash to enable shuffle-free MERGE").
+        tests/test_bucketing.py asserts the plan shape."""
+        (
+            self.read()
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(table_name)
+        )
+
     # -- storage ----------------------------------------------------------
     def _swap_in(self, df: DataFrame) -> None:
         """Materialize df then atomically replace the table directory.
