@@ -41,3 +41,25 @@ def test_history_branch_takes_max(spark):
     ids = spark.createDataFrame([(1,)], "id int")
     out = {r.id: r.resolved_id for r in resolve_history(edges, ids).collect()}
     assert out == {1: 9}
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted equi-join is result-identical to the plain join."""
+    from go_nonrat_annotation_pipeline_spark.operators.util import (
+        salted_group_count,
+        salted_join,
+    )
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 10000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], ["k", "label"])
+
+    plain = facts.join(dim, "k").select("k", "v", "label")
+    salted = salted_join(facts, dim, "k", n_salts=8).select("k", "v", "label")
+    assert plain.count() == salted.count() == 10000
+    assert plain.exceptAll(salted).isEmpty()
+
+    counts = {r.k: r["count"] for r in salted_group_count(facts, "k", 8).collect()}
+    assert counts == {i: 2000 for i in range(5)}

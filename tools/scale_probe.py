@@ -1,0 +1,84 @@
+"""Scale probe: run the heavy operators on an inflated corpus (default
+20x the sf0.1 documents/embeddings tables ≈ 100k docs) and print
+per-operator wall-clock + rows/sec. Evidence that the chosen plans
+scale linearly with data, not quadratically.
+
+Usage: python tools/scale_probe.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_nonrat_annotation_pipeline_spark.operators import dedup as D  # noqa: E402
+from go_nonrat_annotation_pipeline_spark.operators import similarity as SIM  # noqa: E402
+from go_nonrat_annotation_pipeline_spark.session import get_spark  # noqa: E402
+from go_nonrat_annotation_pipeline_spark.sources.testdata import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def inflate(df, id_col: str, mult: int):
+    """Replicate a table mult× with distinct ids (id*mult+copy) and a
+    per-copy token appended to text so copies aren't byte-identical."""
+    copies = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_copy")
+    out = df.select("*", copies).withColumn(
+        id_col, F.col(id_col) * mult + F.col("_copy")
+    )
+    if "text" in out.columns:
+        out = out.withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" v"), F.col("_copy").cast("string")),
+        )
+    return out.drop("_copy").repartition(64).localCheckpoint()
+
+
+def timed(name: str, fn, n_rows: int):
+    t0 = time.perf_counter()
+    out_rows = fn()
+    dt = time.perf_counter() - t0
+    print(f"{name:28s} {dt:7.2f}s   in={n_rows:>9,}   out={out_rows:>9,}   {n_rows/dt:>12,.0f} rows/s")
+
+
+def main():
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = inflate(load_table(spark, SF_DIR, "documents"), "doc_id", mult)
+    emb = inflate(load_table(spark, SF_DIR, "embeddings"), "vec_id", mult)
+    n_docs, n_emb = docs.count(), emb.count()
+    print(f"corpus: {n_docs:,} docs, {n_emb:,} embeddings  (x{mult})")
+
+    timed(
+        "dedup_exact",
+        lambda: D.exact_dedup(docs, F.substring("text", 1, 40), "doc_id").count(),
+        n_docs,
+    )
+    timed(
+        "dedup_minhash_lsh",
+        lambda: D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.7).count(),
+        n_docs,
+    )
+    timed(
+        "dedup_simhash",
+        lambda: D.simhash(docs, "doc_id", "text", 32).count(),
+        n_docs,
+    )
+    queries = emb.limit(10).localCheckpoint()
+    timed(
+        "sim_lsh_ann(10 queries)",
+        lambda: SIM.lsh_ann_topk(emb, queries, "vec_id", "embedding", 5).count(),
+        n_emb,
+    )
+
+
+if __name__ == "__main__":
+    main()
