@@ -207,6 +207,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (doc_id, cluster_id) with
+    cluster_id = min doc id of the component.
+
+    Iterative min-label propagation to fixpoint with per-iteration
+    localCheckpoint (same recipe as the closure operators). The pair
+    graph is the LSH output — orders of magnitude smaller than the
+    corpus — so iterations are cheap; convergence is O(component
+    diameter), which LSH keeps tiny in practice (near-dup clusters are
+    dense). For adversarial long-chain graphs, swap in the alternating
+    large-star/small-star variant; the interface is unchanged.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("u", "_mv").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        lab_by_node = labels.select(
+            F.col("u").alias("_ln"), F.col("label").alias("_lv")
+        )
+        neighbor_min = (
+            edges.join(lab_by_node, edges["v"] == F.col("_ln"), "inner")
+            .groupBy("u")
+            .agg(F.min("_lv").alias("_nlabel"))
+            .select(F.col("u").alias("_nu"), "_nlabel")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["u"] == F.col("_nu"), "left")
+            .select(
+                "u",
+                F.least("label", F.coalesce("_nlabel", "label")).alias("label"),
+                (F.coalesce("_nlabel", "label") < F.col("label")).alias("_moved"),
+            )
+            .localCheckpoint()
+        )
+        changed = not new_labels.where("_moved").isEmpty()
+        labels = new_labels.select("u", "label").localCheckpoint()
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iterations} iterations")
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns — JVM higher-order
     fns, summation in index order (deterministic, oracle-reproducible)."""

@@ -44,10 +44,10 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _SH = H.sql_shingle_hashes(H.sql_word_hashes(_WORDS))
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH shd AS (
+# shared CTE body producing verified near-dup pairs (reused by the
+# pair query and the connected-components clustering query)
+_PAIR_CTES = f"""
+    shd AS (
       SELECT doc_id, LIST_DISTINCT({_SH}) AS sh FROM documents
     ), docs AS (
       SELECT doc_id, sh, {H.sql_minhash_signature('sh')} AS sig
@@ -66,7 +66,13 @@ _SH = H.sql_shingle_hashes(H.sql_word_hashes(_WORDS))
              CAST(LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s))) AS DOUBLE)
                / (LEN(x.sh) + LEN(y.sh) - LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s)))) AS j
       FROM cand JOIN docs x ON x.doc_id = cand.id_a JOIN docs y ON y.doc_id = cand.id_b
-    )
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_PAIR_CTES}
     SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM ver WHERE j >= 0.7
     """,
     doc="dedup: MinHash(k=8) + 4×2 LSH banding + Jaccard≥0.7 verify",
@@ -74,6 +80,32 @@ _SH = H.sql_shingle_hashes(H.sql_word_hashes(_WORDS))
 def dedup_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.7)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    pairs AS (SELECT id_a, id_b FROM ver WHERE j >= 0.7),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS member FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.member
+    )
+    SELECT node AS doc_id, MIN(member) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="dedup: near-dup clusters via iterative connected components",
+)
+def dedup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.7)
+    return D.connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------
