@@ -90,6 +90,85 @@ def brute_force_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cv",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (IVF cells).
+
+    centroids is dimension-sized and broadcast; the corpus never
+    shuffles — assignment is a map-side argmax over the broadcast list.
+    Deterministic tie-break: higher cosine first, then lower centroid id.
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", cosine(F.col(vec_col), F.col(cent_vec))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(cent_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col(cent_id).alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into centroid cells,
+    probe only the n_probe cells nearest each query.
+
+    The scale path alongside LSH banding (hyperplane_bucket): centroids
+    here are a deterministic corpus sample (vec_id < n_centroids) so the
+    oracle reproduces the index exactly; production swaps in k-means
+    centroids — the plumbing (broadcast centroids, cell-keyed candidate
+    join) is identical. Corpus-side work is one map-side assignment +
+    one equi-join on the cell key.
+    """
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vc")
+    )
+    cents = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    assigned = ivf_assign(corpus, cents, "neighbor_id", "vc")
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("vq")
+    )
+    qscored = qs.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", cosine(F.col("vq"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cent_id"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "vq", F.col("cent_id").alias("cell"))
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("vq"), F.col("vc")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -223,6 +223,14 @@ class AnnotStore:
         (much smaller) incoming batch shuffles (SURVEY.md §4: "bucket
         full_annot by the merge-key hash to enable shuffle-free MERGE").
         tests/test_bucketing.py asserts the plan shape."""
+        spark = self.read().sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        # A crashed prior run can leave the managed location on disk with no
+        # catalog entry; overwrite mode then fails with LOCATION_ALREADY_EXISTS.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = os.path.join(warehouse.removeprefix("file:"), table_name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
         (
             self.read()
             .write.mode("overwrite")

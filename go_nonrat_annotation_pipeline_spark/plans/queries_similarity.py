@@ -79,3 +79,82 @@ def sim_lsh_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return S.lsh_ann_topk(emb, queries, "vec_id", "embedding", 5, 4, 64)
+
+
+# ---------------------------------------------------------------------------
+# IVF-cell approximate top-k (the other scale path: broadcast centroids,
+# map-side cell assignment, probe-limited candidate join)
+# ---------------------------------------------------------------------------
+_CENTS = 16
+_PROBE = 2
+
+
+@register(
+    "sim_ivf_ann",
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_CENTS}
+    ), assigned AS (
+      SELECT vec_id AS neighbor_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY t.cos DESC, t.cent_id) AS rn
+        FROM e c, LATERAL (
+          SELECT cent_id,
+                 LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                     LIST_TRANSFORM(GENERATE_SERIES(1, LEN(c.v)),
+                                    i -> LIST_EXTRACT(c.v, i) * LIST_EXTRACT(cv, i))),
+                     (acc, x) -> acc + x)
+                 / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                        LIST_TRANSFORM(c.v, x -> x * x)), (acc, x) -> acc + x))
+                  * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                        LIST_TRANSFORM(cv, x -> x * x)), (acc, x) -> acc + x))) AS cos
+          FROM cents) t)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, vq, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS vq, t.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY t.cos DESC, t.cent_id) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < 5) q, LATERAL (
+          SELECT cent_id,
+                 LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                     LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q.v)),
+                                    i -> LIST_EXTRACT(q.v, i) * LIST_EXTRACT(cv, i))),
+                     (acc, x) -> acc + x)
+                 / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                        LIST_TRANSFORM(q.v, x -> x * x)), (acc, x) -> acc + x))
+                  * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                        LIST_TRANSFORM(cv, x -> x * x)), (acc, x) -> acc + x))) AS cos
+          FROM cents) t)
+      WHERE rn <= {_PROBE}
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             ROUND(
+               LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(p.vq)),
+                                  i -> LIST_EXTRACT(p.vq, i) * LIST_EXTRACT(a.v, i))),
+                   (acc, x) -> acc + x)
+               / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                      LIST_TRANSFORM(p.vq, x -> x * x)), (acc, x) -> acc + x))
+                * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+                      LIST_TRANSFORM(a.v, x -> x * x)), (acc, x) -> acc + x))), 6) AS cosine
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="similarity: IVF-cell ANN top-5 (deterministic centroid sample)",
+)
+def sim_ivf_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, "vec_id", "embedding", 5, _CENTS, _PROBE)
