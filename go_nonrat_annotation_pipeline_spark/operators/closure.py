@@ -59,7 +59,9 @@ def transitive_descendants(
             .select(F.col("_child").alias("_node"))
             .distinct()
         )
-        new_frontier = children.join(result, "_node", "left_anti").localCheckpoint()
+        new_frontier = children.join(
+            _maybe_broadcast(result, broadcast_edges), "_node", "left_anti"
+        ).localCheckpoint()
         if new_frontier.isEmpty():
             break
         result = result.unionByName(new_frontier).localCheckpoint()
@@ -104,7 +106,14 @@ def resolve_history(
     m = succ.localCheckpoint()  # x → current known end-of-chain (distance 2^k)
 
     for _ in range(max_iterations):
-        nxt = m.select(F.col("_old").alias("_o2"), F.col("_new").alias("_n2"))
+        # The successor map is dimension-sized (SURVEY §6: ~22k ids), so the
+        # doubling join broadcasts it — each iteration is a map-side job with
+        # no exchange. broadcast_edges=False keeps shuffle joins for maps too
+        # big to broadcast.
+        nxt = _maybe_broadcast(
+            m.select(F.col("_old").alias("_o2"), F.col("_new").alias("_n2")),
+            broadcast_edges,
+        )
         m = (
             m.join(nxt, m["_new"] == nxt["_o2"], "left")
             .select(
