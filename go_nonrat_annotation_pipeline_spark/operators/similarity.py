@@ -26,12 +26,18 @@ def _hyperplane_weight(j: int, d: int) -> float:
     return ((j * 64 + d) * LSH_MULT % LSH_MOD) / LSH_MOD - 0.5
 
 
-def hyperplane_bucket(v: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Sign-of-projection LSH bucket id (0 .. 2^n_planes-1)."""
+def hyperplane_bucket(
+    v: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
+    """Sign-of-projection LSH bucket id (0 .. 2^n_planes-1).
+
+    plane_offset selects a disjoint plane family — table t of a
+    multi-table (OR-amplified) index uses offset t*n_planes.
+    """
     bucket = None
     for j in range(n_planes):
         proj = sum(
-            F.element_at(v, d + 1) * F.lit(_hyperplane_weight(j, d))
+            F.element_at(v, d + 1) * F.lit(_hyperplane_weight(plane_offset + j, d))
             for d in range(dim)
         )
         bit = F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
@@ -41,12 +47,14 @@ def hyperplane_bucket(v: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket
 
 
-def sql_hyperplane_bucket(v_expr: str, n_planes: int = 8, dim: int = 64) -> str:
+def sql_hyperplane_bucket(
+    v_expr: str, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> str:
     """DuckDB SQL mirror of hyperplane_bucket (same constants)."""
     parts = []
     for j in range(n_planes):
         proj = " + ".join(
-            f"LIST_EXTRACT({v_expr}, {d + 1}) * ({_hyperplane_weight(j, d)!r})"
+            f"LIST_EXTRACT({v_expr}, {d + 1}) * ({_hyperplane_weight(plane_offset + j, d)!r})"
             for d in range(dim)
         )
         parts.append(f"CASE WHEN ({proj}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
@@ -198,4 +206,61 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_multitable_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """OR-amplified LSH ANN: a candidate matches if it shares a bucket
+    with the query in ANY of n_tables independent hash tables.
+
+    The standard recall booster for sign-random-projection LSH (recall
+    per table compounds as 1-(1-p)^L). Scale shape: each side maps to
+    n_tables (table, bucket) keys via a generated-column explode — a
+    map-side n_tables× expansion, no shuffle — then one equi-join on
+    the composite key; candidate pairs dedupe before the (expensive)
+    exact re-score, so each survivor is scored once.
+    """
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vc")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("vq")
+    )
+
+    def keyed(frame: DataFrame, v: str) -> DataFrame:
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_bucket(
+                        F.col(v), n_planes, dim, plane_offset=t * n_planes
+                    ).alias("b"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return frame.withColumn("tb", F.explode(keys))
+
+    cand = (
+        F.broadcast(keyed(qs, "vq"))
+        .join(keyed(corpus, "vc"), "tb")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "vq", "neighbor_id", "vc")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", F.round(cosine(F.col("vq"), F.col("vc")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -158,3 +158,56 @@ def sim_ivf_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return S.ivf_topk(emb, queries, "vec_id", "embedding", 5, _CENTS, _PROBE)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table (OR-amplified) LSH ANN — recall booster: candidate iff the
+# pair collides in ANY of the L independent hash tables
+# ---------------------------------------------------------------------------
+_MT_PLANES = 4
+_MT_TABLES = 8
+_MT_BUCKETS = ",\n             ".join(
+    f"{S.sql_hyperplane_bucket('v', _MT_PLANES, 64, t * _MT_PLANES)} AS b{t}"
+    for t in range(_MT_TABLES)
+)
+_MT_UNION = "\n      UNION\n".join(
+    f"      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+    f"      FROM bucketed q JOIN bucketed c ON q.b{t} = c.b{t}\n"
+    f"        AND q.vec_id < 5 AND q.vec_id <> c.vec_id"
+    for t in range(_MT_TABLES)
+)
+
+
+@register(
+    "sim_lsh_multitable",
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, v,
+             {_MT_BUCKETS}
+      FROM e
+    ), cand AS (
+{_MT_UNION}
+    ), scored AS (
+      SELECT p.query_id, p.neighbor_id, ROUND({_COS}, 6) AS cosine
+      FROM cand p
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e c ON c.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="similarity: OR-amplified LSH ANN top-5 (4 planes × 8 tables)",
+)
+def sim_lsh_multitable(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.lsh_multitable_topk(
+        emb, queries, "vec_id", "embedding", 5, _MT_PLANES, _MT_TABLES
+    )
