@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -209,6 +211,43 @@ def lsh_ann_topk(
     )
 
 
+def _multitable_bucket_udf(n_planes: int, n_tables: int, dim: int):
+    """Arrow-batched kernel computing all n_tables bucket ids at once.
+
+    The expression form of one bucket is an O(n_planes*dim)-node Column
+    tree; at 8 tables x 4 planes x 64 dims that is ~2000 nodes PER SIDE
+    — tens of seconds of py4j tree construction and an interpreted
+    (codegen-overflow) evaluation. One numpy matmul per Arrow batch
+    ((batch x dim) @ (dim x planes)) replaces all of it; this is the
+    sanctioned Python path: vectorized, no per-row Python.
+
+    Sign-of-projection is float-order sensitive in principle (numpy sums
+    pairwise, SQL sums sequentially) but weights are O(0.1) and
+    projections O(1), so a sign flip needs |proj| ~ 1e-15 — negligible,
+    and the DuckDB oracle cross-checks it every round.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    w = np.array(
+        [
+            [_hyperplane_weight(t * n_planes + j, d) for d in range(dim)]
+            for t in range(n_tables)
+            for j in range(n_planes)
+        ]
+    ).T  # (dim, n_tables*n_planes)
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (mat @ w) > 0  # (batch, n_tables*n_planes)
+        per_table = bits.reshape(len(mat), n_tables, n_planes) @ pow2
+        return pd.Series(list(per_table))
+
+    return buckets
+
+
 def lsh_multitable_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -236,19 +275,20 @@ def lsh_multitable_topk(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("vq")
     )
 
+    bucket_udf = _multitable_bucket_udf(n_planes, n_tables, dim)
+
     def keyed(frame: DataFrame, v: str) -> DataFrame:
-        keys = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    hyperplane_bucket(
-                        F.col(v), n_planes, dim, plane_offset=t * n_planes
-                    ).alias("b"),
-                )
-                for t in range(n_tables)
-            ]
+        # posexplode emits (table_index, bucket) — the composite join key
+        cols = [c for c in frame.columns]
+        return (
+            frame.select(
+                *cols, F.posexplode(bucket_udf(F.col(v))).alias("_t", "_b")
+            )
+            .withColumn(
+                "tb", F.struct(F.col("_t").alias("t"), F.col("_b").alias("b"))
+            )
+            .drop("_t", "_b")
         )
-        return frame.withColumn("tb", F.explode(keys))
 
     cand = (
         F.broadcast(keyed(qs, "vq"))

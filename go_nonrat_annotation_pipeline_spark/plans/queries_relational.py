@@ -827,3 +827,76 @@ def a6_before_after_counts(spark, sf_dir):
         after.alias("after_n"),
         (after - before).alias("diff_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Five-table dimension chain join + aggregate (TPC-H Q5 shape). Catalyst
+# reorders the joins and broadcasts every dimension side; only lineitem
+# (the fact) streams — no fact-side shuffle until the final group-by.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_multiway_join_agg",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="5-table broadcast-chain join + hash aggregate (TPC-H Q5 shape)",
+)
+def q5_multiway_join_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast("decimal(38,12)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy aggregate: one pass produces (status, priority),
+# (status), and grand-total grouping sets — Spark expands the sets
+# map-side, still a single hash-aggregate shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q_rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping-sets aggregate in one shuffle",
+)
+def q_rollup_status_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("decimal(38,6)")
+        .alias("total_price"),
+    )

@@ -76,3 +76,18 @@ def test_single_shuffle_aggregation(spark, registry):
     # detail section — one physical Exchange node ⇒ exactly one "(n) Exchange"
     assert p.count(") Exchange") == 1
     assert "partial_sum" in p and "HashAggregate" in p
+
+
+def test_multiway_join_broadcast_chain(spark, registry):
+    """q5: all four dimension joins broadcast; the fact side reaches the
+    final group-by through a single exchange."""
+    p = plan(registry["q5_multiway_join_agg"].spark(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_rollup_single_aggregate_pass(spark, registry):
+    """ROLLUP grouping sets expand map-side — one shuffle, no join."""
+    p = plan(registry["q_rollup_status_priority"].spark(spark, SF))
+    assert "Expand" in p
+    assert p.count("Exchange") <= 2  # pre/post-agg exchange only

@@ -17,6 +17,8 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from go_nonrat_annotation_pipeline_spark.functions.packer import pack_fragments  # noqa: E402
+from go_nonrat_annotation_pipeline_spark.operators import closure as CL  # noqa: E402
 from go_nonrat_annotation_pipeline_spark.operators import dedup as D  # noqa: E402
 from go_nonrat_annotation_pipeline_spark.operators import similarity as SIM  # noqa: E402
 from go_nonrat_annotation_pipeline_spark.session import get_spark  # noqa: E402
@@ -77,6 +79,60 @@ def main():
         "sim_lsh_ann(10 queries)",
         lambda: SIM.lsh_ann_topk(emb, queries, "vec_id", "embedding", 5).count(),
         n_emb,
+    )
+    timed(
+        "sim_lsh_multitable(10 q)",
+        lambda: SIM.lsh_multitable_topk(
+            emb, queries, "vec_id", "embedding", 5, 4, 8
+        ).count(),
+        n_emb,
+    )
+    timed(
+        "sim_ivf_ann(10 queries)",
+        lambda: SIM.ivf_topk(emb, queries, "vec_id", "embedding", 5, 16, 2).count(),
+        n_emb,
+    )
+
+    # A3-shaped consolidation on an inflated fact table: one hash-agg
+    # shuffle + fragment packing + explode (the pipeline's hot merge).
+    li = inflate(
+        load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        mult,
+    )
+    n_li = li.count()
+    timed(
+        "a3_consolidate_shape",
+        lambda: li.select(
+            "l_orderkey",
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("tok"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("tok")).alias("toks"))
+        .select(
+            "l_orderkey", pack_fragments(F.col("toks"), 64, "|").alias("frags")
+        )
+        .select("l_orderkey", F.posexplode("frags"))
+        .count(),
+        n_li,
+    )
+
+    # Pointer-doubling history closure: chains of length 1024 over a
+    # mult-scaled edge table close in ~10 doubling joins (O(log L)),
+    # independent of edge count.
+    n_edges = 100_000 * mult
+    edges = (
+        spark.range(1, n_edges + 1)
+        .where("id % 1024 != 1")
+        .select(F.col("id").alias("old_id"), (F.col("id") - 1).alias("new_id"))
+        .repartition(64)
+        .localCheckpoint()
+    )
+    ids = spark.range(1, n_edges + 1).select(F.col("id")).localCheckpoint()
+    timed(
+        "history_closure(L=1024)",
+        lambda: CL.resolve_history(edges, ids, broadcast_edges=False).count(),
+        n_edges,
     )
 
 
