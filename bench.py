@@ -23,6 +23,8 @@ from go_nonrat_annotation_pipeline_spark.session import get_spark
 # registered). Anything listed here but not yet registered is skipped.
 HEADLINE = [
     "q1_pricing_summary",
+    "q5_multiway_join_agg",
+    "q_rollup_status_priority",
     "j01_multikey_dispatch_match",
     "j02_fallback_cascade",
     "j09_exclusion_anti_join",
@@ -36,7 +38,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_lsh_multitable",
+    "sim_ivf_ann",
     "text_quality_score",
+    "corpus_clean_pipeline",
 ]
 
 
