@@ -25,7 +25,7 @@ import os
 import shutil
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import ANNOT_MATCH_KEY, FULL_ANNOT_SCHEMA
@@ -64,14 +64,10 @@ class AnnotStore:
         return self.spark.read.schema(FULL_ANNOT_SCHEMA).parquet(self.path)
 
     # -- A7 ---------------------------------------------------------------
-    def merge_upsert(self, incoming: DataFrame, run_ts) -> UpsertStats:
-        """MERGE incoming annotations on the 9-field null-safe key (J11).
-
-        incoming: FULL_ANNOT-shaped rows WITHOUT full_annot_key /
-        created_date / last_modified_date (assigned here). run_ts is the
-        run's SYSDATE equivalent — captured once so every row of a run
-        carries the same timestamp (SURVEY.md §7.4).
-        """
+    def plan_merge(self, incoming: DataFrame, run_ts):
+        """Build the MERGE plan: (classification join, counter columns,
+        merged table). Pure plan construction — no actions; merge_upsert
+        executes it, tests/test_pipeline.py audits its physical plan."""
         existing = self.read()
         key_cond = [
             existing[c].eqNullSafe(incoming[c]) for c in ANNOT_MATCH_KEY
@@ -87,9 +83,11 @@ class AnnotStore:
         for c in CHANGE_COLS:
             changed = changed | ~F.col(f"e.{c}").eqNullSafe(F.col(f"i.{c}"))
 
-        inserted = joined.where(e_key.isNull()).count()
-        updated = joined.where(matched & changed).count()
-        touched = joined.where(matched & ~changed).count()
+        counter_cols = [
+            F.sum(F.when(e_key.isNull(), 1).otherwise(0)).alias("inserted"),
+            F.sum(F.when(matched & changed, 1).otherwise(0)).alias("updated"),
+            F.sum(F.when(matched & ~changed, 1).otherwise(0)).alias("touched"),
+        ]
 
         ts = F.lit(run_ts).cast("timestamp")
         max_key = (existing.agg(F.max("full_annot_key")).collect()[0][0] or 0)
@@ -98,16 +96,14 @@ class AnnotStore:
         for f in FULL_ANNOT_SCHEMA.fields:
             c = f.name
             if c == "full_annot_key":
-                # surrogate keys: deterministic max+row_number over the merge
-                # key (values differ from the Oracle sequence; only equality/
-                # grouping semantics matter — SURVEY.md §4)
+                # surrogate keys for inserts: max-key offset + a partition-
+                # parallel unique id (values differ from the Oracle sequence;
+                # only equality/grouping semantics matter — SURVEY.md §4).
+                # A global row_number() window here would funnel every insert
+                # through one task; monotonically_increasing_id keeps key
+                # assignment map-side at any scale.
                 col = F.when(e_key.isNotNull(), e_key).otherwise(
-                    F.lit(max_key)
-                    + F.row_number().over(
-                        Window.partitionBy(F.lit(1)).orderBy(
-                            *[F.col(f"i.{k}") for k in ANNOT_MATCH_KEY]
-                        )
-                    )
+                    F.lit(max_key) + F.lit(1) + F.monotonically_increasing_id()
                 )
             elif c == "created_date":
                 col = F.when(e_key.isNotNull(), F.col("e.created_date")).otherwise(ts)
@@ -136,9 +132,29 @@ class AnnotStore:
                 )
             out_cols.append(col.alias(c))
 
-        new_table = joined.select(*out_cols)
+        return joined, counter_cols, joined.select(*out_cols)
+
+    def merge_upsert(self, incoming: DataFrame, run_ts) -> UpsertStats:
+        """MERGE incoming annotations on the 9-field null-safe key (J11).
+
+        incoming: FULL_ANNOT-shaped rows WITHOUT full_annot_key /
+        created_date / last_modified_date (assigned here). run_ts is the
+        run's SYSDATE equivalent — captured once so every row of a run
+        carries the same timestamp (SURVEY.md §7.4).
+
+        One pass over the persisted classification join computes all
+        three counters map-side (partial sums) and the table rewrite
+        reuses the same physical execution — the join runs once, not 4×.
+        Delta MERGE reports these counters natively as operation metrics.
+        """
+        joined, counter_cols, new_table = self.plan_merge(incoming, run_ts)
+        joined = joined.persist()
+        ins_c, upd_c, tch_c = joined.agg(*counter_cols).collect()[0]
         self._swap_in(new_table)
-        return UpsertStats(inserted=inserted, updated=updated, touched=touched)
+        joined.unpersist()
+        return UpsertStats(
+            inserted=int(ins_c or 0), updated=int(upd_c or 0), touched=int(tch_c or 0)
+        )
 
     # -- A6 / J12 ---------------------------------------------------------
     def count_for_ref(

@@ -15,6 +15,7 @@ from ..sources.testdata import load_table
 from .registry import register
 
 DEC = "decimal(18,6)"
+DEC2 = "decimal(18,2)"
 
 
 # ---------------------------------------------------------------------------
@@ -25,9 +26,9 @@ DEC = "decimal(18,6)"
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -41,15 +42,19 @@ def q1_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC))
-            .cast("decimal(38,6)")
+            # accumulate exactly in decimal at the data's true scale (2dp);
+            # keeping the unscaled sum < 2^53 makes the final decimal→double
+            # cast a single correctly-rounded IEEE division, so both engines
+            # produce bit-identical doubles for the hash check
+            F.sum(F.col("l_quantity").cast(DEC2)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC2))
+            .cast("double")
             .alias("sum_base_price"),
             F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1) - F.col("l_discount").cast(DEC))
+                F.col("l_extendedprice").cast(DEC2)
+                * (F.lit(1) - F.col("l_discount").cast(DEC2))
             )
-            .cast("decimal(38,12)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -105,7 +110,7 @@ def s4_prefilter_scan(spark, sf_dir):
 @register(
     "s5_split_by_key_counts",
     """
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
     doc="S5: partition-key demux cardinalities",
@@ -809,10 +814,10 @@ def a1_source_line_counts(spark, sf_dir):
     "a6_before_after_counts",
     """
     SELECT o_orderstatus,
-           SUM(CASE WHEN o_orderdate <  TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS before_n,
-           SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS after_n,
-           SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END)
-             - SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS diff_n
+           CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS before_n,
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS after_n,
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS diff_n
     FROM orders GROUP BY o_orderstatus
     """,
     doc="A6: before/after snapshot counts + signed diff",
@@ -838,8 +843,8 @@ def a6_before_after_counts(spark, sf_dir):
     "q5_multiway_join_agg",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -866,10 +871,10 @@ def q5_multiway_join_agg(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1) - F.col("l_discount").cast(DEC))
+                F.col("l_extendedprice").cast(DEC2)
+                * (F.lit(1) - F.col("l_discount").cast(DEC2))
             )
-            .cast("decimal(38,12)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -886,7 +891,7 @@ def q5_multiway_join_agg(spark, sf_dir):
     """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -896,7 +901,7 @@ def q_rollup_status_priority(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC))
-        .cast("decimal(38,6)")
+        F.sum(F.col("o_totalprice").cast(DEC2))
+        .cast("double")
         .alias("total_price"),
     )

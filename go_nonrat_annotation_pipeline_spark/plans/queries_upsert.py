@@ -94,9 +94,9 @@ def a7_upsert_classification(spark, sf_dir):
     f"""
     WITH {_SNAP_SQL}
     SELECT COUNT(*) AS current_count,
-           SUM(CASE WHEN i.key IS NULL THEN 1 ELSE 0 END) AS stale_count,
+           CAST(SUM(CASE WHEN i.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS stale_count,
            CAST(FLOOR(COUNT(*) * 0.10) AS BIGINT) AS threshold,
-           (SUM(CASE WHEN i.key IS NULL THEN 1 ELSE 0 END) <= CAST(FLOOR(COUNT(*) * 0.10) AS BIGINT)) AS do_delete
+           (CAST(SUM(CASE WHEN i.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) <= CAST(FLOOR(COUNT(*) * 0.10) AS BIGINT)) AS do_delete
     FROM existing e LEFT JOIN incoming i ON e.key = i.key
     """,
     doc="A8: stale-delete candidates + 10% abort threshold as a decision row",

@@ -48,9 +48,9 @@ def w1_topk_per_group(spark, sf_dir):
     """
     SELECT event_id, user_id, session_id FROM (
       SELECT event_id, user_id,
-             SUM(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM (SELECT event_id, user_id, ts,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL 30 MINUTE OR

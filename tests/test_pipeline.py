@@ -203,6 +203,46 @@ def test_idempotence(env):
             assert row.last_modified_date == RUN2_TS
 
 
+def test_merge_plan_no_single_partition_exchange(spark, tmp_path):
+    """A7 at 100 TB: the merge rewrite must stay partition-parallel —
+    no single-partition exchange (the old global row_number surrogate-key
+    window funneled every inserted row through one task)."""
+    from go_nonrat_annotation_pipeline_spark.pipeline.fixtures import _annot_row
+    from go_nonrat_annotation_pipeline_spark import schemas as S
+
+    cfg = PipelineConfig()
+    old = datetime(2023, 1, 1)
+    rows = [
+        _annot_row(
+            full_annot_key=100 + i,
+            term="binding",
+            annotated_object_rgd_id=101,
+            ref_rgd_id=MGI_REF,
+            evidence="IEA",
+            term_acc="GO:0000002",
+            created_by=cfg.created_by,
+            last_modified_by=cfg.created_by,
+            xref_source=f"X:{i}",
+            created_date=old,
+            last_modified_date=old,
+        )
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in S.FULL_ANNOT_SCHEMA.fields) for r in rows],
+        S.FULL_ANNOT_SCHEMA,
+    )
+    store = AnnotStore(spark, str(tmp_path / "fa"))
+    store.seed(df)
+    incoming = df.drop("full_annot_key", "created_date", "last_modified_date")
+    _, _, new_table = store.plan_merge(incoming, RUN1_TS)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        new_table._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in p
+    assert "row_number" not in p.lower()
+
+
 def test_threshold_abort(spark, tmp_path):
     """A8: deletes abort when the net drop exceeds the threshold
     (DAO.deleteAnnotations; changes.txt:93-95)."""
