@@ -18,6 +18,8 @@ DuckDB oracle reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -277,6 +279,93 @@ def cosine(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / (na * nb)
+
+
+def _cosine_kernel():
+    """Arrow-batched cosine for the verify stage at scale: one numpy
+    einsum per batch instead of the interpreted per-row higher-order-
+    function expression (~1ms/pair JVM-interpreted vs ~1M pairs/s here).
+    Float summation order differs from the sequential JVM/SQL reduce, so
+    oracle-exact queries keep the expression form (`cosine`); the kernel
+    agrees with it to well past the rounded 6dp (tests/test_dedup.py)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.asarray([np.asarray(x, dtype=np.float64) for x in va])
+        b = np.asarray([np.asarray(x, dtype=np.float64) for x in vb])
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        dot = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(dot / (na * nb))
+
+    return cos
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    verify_kernel: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: OR-amplified hyperplane-LSH
+    candidate generation + exact cosine verify on candidates only.
+
+    The 100 TB path (vs the O(N²) crossJoin of the brute-force variant):
+    buckets for all n_tables hash tables come from one Arrow numpy matmul
+    per batch (similarity._multitable_bucket_udf), each vector expands
+    map-side to n_tables (table, bucket) keys, and candidates are an
+    equi-join on that composite key — only colliding ids travel; the
+    (heavy) vectors are joined back exactly once per surviving pair for
+    the cosine verify. Deterministic and oracle-reproducible (the DuckDB
+    mirror recomputes identical buckets).
+
+    Sizing: buckets per table = 2^n_planes; keep N / 2^n_planes near the
+    intended candidate-block size (≈64-256), i.e. n_planes ≈
+    log2(N/128), and raise n_tables to buy recall back. verify_kernel
+    switches the candidate re-score to the Arrow numpy kernel — the
+    scale setting; the default JVM expression is bit-reproducible in the
+    DuckDB oracle.
+    """
+    from .similarity import _multitable_bucket_udf  # deferred: avoids import cycle
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    docs = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), v.alias("v"))
+    ).localCheckpoint()
+
+    budf = _multitable_bucket_udf(n_planes, n_tables, dim)
+    keyed = docs.select(
+        "_id", F.posexplode(budf(F.col("v"))).alias("_t", "_b")
+    )
+    a = keyed.select(F.col("_id").alias("id_a"), "_t", "_b")
+    b = keyed.select(F.col("_id").alias("id_b"), "_t", "_b")
+    cand = (
+        a.join(b, ["_t", "_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = docs.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
+    y = docs.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = (
+        _cosine_kernel()(F.col("va"), F.col("vb"))
+        if verify_kernel
+        else cosine(F.col("va"), F.col("vb"))
+    )
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
 
 
 def embedding_near_dup_pairs(

@@ -188,13 +188,22 @@ def lsh_ann_topk(
     n_planes: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket."""
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    Buckets come from the Arrow matmul kernel (n_tables=1) rather than
+    the expression-form hyperplane_bucket: the Column-tree form costs
+    O(n_planes×dim) nodes per side (~256 at 4×64 — py4j construction
+    time and interpreted evaluation past the codegen limit), while the
+    kernel is one numpy matmul per Arrow batch. hyperplane_bucket stays
+    exported for small-dim inline use (its SQL mirror defines the oracle).
+    """
+    bucket_udf = _multitable_bucket_udf(n_planes, 1, dim)
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vc")
-    ).withColumn("bucket", hyperplane_bucket(F.col("vc"), n_planes, dim))
+    ).withColumn("bucket", F.element_at(bucket_udf(F.col("vc")), 1))
     qs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("vq")
-    ).withColumn("bucket", hyperplane_bucket(F.col("vq"), n_planes, dim))
+    ).withColumn("bucket", F.element_at(bucket_udf(F.col("vq")), 1))
     scored = (
         F.broadcast(qs)
         .join(corpus, "bucket")

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..operators import dedup as D
+from ..operators import similarity as Ssim
 from ..sources.testdata import load_table
+from .queries_similarity import _COS as _SIM_COS
 from .registry import register
 
 _WORDS = "STRING_SPLIT(text, ' ')"
@@ -163,8 +165,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup pairs (brute force at test SF; the bucketed
-# variant is exercised by sim_lsh_ann in queries_similarity.py)
+# embedding-cosine near-dup pairs — brute-force EXACT BASELINE. This
+# all-pairs variant exists as the verify/recall reference for the
+# bucketed scale path below (dedup_embedding_bucketed); production runs
+# the bucketed query, never this one.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_embedding_cosine",
@@ -186,8 +190,55 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs WHERE c >= 0.45
     """,
-    doc="dedup: embedding-cosine near-dup pairs ≥0.45",
+    doc="dedup: embedding-cosine near-dup pairs ≥0.45 (exact baseline)",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.45, None)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup, LSH-bucketed (the 100 TB scale path): OR-amplified
+# hyperplane buckets bound the candidate join; exact cosine verifies only
+# colliding pairs. Results are a deterministic subset of the brute-force
+# pairs (recall measured in tests/test_dedup.py).
+# ---------------------------------------------------------------------------
+_NDP_PLANES = 4
+_NDP_TABLES = 4
+_NDP_BUCKETS = ",\n             ".join(
+    f"{Ssim.sql_hyperplane_bucket('v', _NDP_PLANES, 64, t * _NDP_PLANES)} AS b{t}"
+    for t in range(_NDP_TABLES)
+)
+_NDP_UNION = "\n      UNION\n".join(
+    f"      SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
+    f"      FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t}\n"
+    f"        AND a.vec_id < b.vec_id"
+    for t in range(_NDP_TABLES)
+)
+
+
+@register(
+    "dedup_embedding_bucketed",
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id,
+             {_NDP_BUCKETS}
+      FROM e
+    ), cand AS (
+{_NDP_UNION}
+    ), ver AS (
+      SELECT id_a, id_b, {_SIM_COS} AS c
+      FROM cand JOIN e q ON q.vec_id = cand.id_a JOIN e c ON c.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM ver WHERE c >= 0.45
+    """,
+    doc="dedup: LSH-bucketed embedding near-dup pairs ≥0.45 (scale path)",
+)
+def dedup_embedding_bucketed(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", 0.45, _NDP_PLANES, _NDP_TABLES, 64
+    )

@@ -29,7 +29,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def inflate(df, id_col: str, mult: int):
     """Replicate a table mult× with distinct ids (id*mult+copy) and a
-    per-copy token appended to text so copies aren't byte-identical."""
+    per-copy token appended to text so copies aren't byte-identical.
+    Embedding columns are regenerated as fresh deterministic pseudo-
+    random vectors (xxhash64 of (id, dim)) — copies of a vector would
+    otherwise be exact near-dups, making every pair-emitting operator's
+    OUTPUT quadratic in the multiplier; fresh vectors measure linear
+    content growth, which is what the probe is for."""
     copies = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_copy")
     out = df.select("*", copies).withColumn(
         id_col, F.col(id_col) * mult + F.col("_copy")
@@ -38,6 +43,17 @@ def inflate(df, id_col: str, mult: int):
         out = out.withColumn(
             "text",
             F.concat(F.col("text"), F.lit(" v"), F.col("_copy").cast("string")),
+        )
+    if "embedding" in out.columns:
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.col(id_col), d), F.lit(100_000)) / 50_000.0
+                    - 1.0
+                ).cast("float"),
+            ),
         )
     return out.drop("_copy").repartition(64).localCheckpoint()
 
@@ -90,6 +106,17 @@ def main():
     timed(
         "sim_ivf_ann(10 queries)",
         lambda: SIM.ivf_topk(emb, queries, "vec_id", "embedding", 5, 16, 2).count(),
+        n_emb,
+    )
+    # plane count sized to the corpus (buckets/table = 2^planes ≈ N/128;
+    # see the operator's sizing note); Arrow kernel for the verify stage
+    lsh_planes = max(4, (n_emb // 128).bit_length())
+    timed(
+        f"dedup_embedding_lsh(p={lsh_planes})",
+        lambda: D.embedding_near_dup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.45,
+            n_planes=lsh_planes, n_tables=8, verify_kernel=True,
+        ).count(),
         n_emb,
     )
 
