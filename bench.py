@@ -21,6 +21,8 @@ from go_nonrat_annotation_pipeline_spark.session import get_spark
 # Representative heavy-path queries (scan-heavy agg, dispatch join, cascade,
 # anti/semi joins, consolidation, upsert, window, dedup/similarity/text once
 # registered). Anything listed here but not yet registered is skipped.
+# FROZEN as of round 2 — keep this set stable so round-over-round deltas
+# are attributable; add new queries to correctness, not here.
 HEADLINE = [
     "q1_pricing_summary",
     "q5_multiway_join_agg",
@@ -63,6 +65,7 @@ def main():
     # machine noise; min-of-2 approximates the throughput a long-running
     # cluster job actually sees.
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         q = registry.get(name)
         if q is None:
@@ -74,6 +77,16 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # plan fingerprint: a regression in plan shape (extra shuffle, a
+        # broadcast degrading to sort-merge, Python creeping into a hot
+        # path) is caught even when ±30% wall-clock noise hides it
+        p = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        plans[name] = (
+            f"x{p.count(') Exchange')}"
+            f"-b{p.count('BroadcastHashJoin')}"
+            f"-s{p.count('SortMergeJoin')}"
+            f"-py{p.count('EvalPython') + p.count('MapInPandas')}"
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +97,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "plan_fingerprints": plans,
             }
         )
     )
