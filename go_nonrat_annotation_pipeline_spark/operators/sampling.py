@@ -1,0 +1,97 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (north-star extension; no reference counterpart — the
+reference is a batch annotation loader, SURVEY.md §2.5).
+
+Design constraints that shape every operator here:
+
+- **Deterministic and engine-independent.** Sampling decisions key off
+  the md5 hex digest of a stable row id — identical in Spark and DuckDB,
+  so the oracle can replay the exact sample. Never ``rand()``: a resample
+  under retry/speculative execution would produce a different dataset.
+- **Map-side.** Split assignment and Bernoulli-style gates are pure
+  projections (no shuffle); only quota sampling pays one hash-partition
+  shuffle for its per-stratum window.
+- **Skew-tolerant.** Quota sampling's window partitions by stratum; a
+  hot stratum concentrates on one task only up to the quota scan, and
+  the md5 ordering spreads ties uniformly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket_hex(id_col: Column, n_hex: int = 2) -> Column:
+    """First n_hex chars of md5(id) — a uniform label in ['00'..'ff'].
+
+    String comparison against a hex threshold gives engine-identical
+    Bernoulli gates without integer conversion (DuckDB lacks Spark's
+    ``conv``; lexicographic order on fixed-width lowercase hex == numeric
+    order).
+    """
+    return F.substring(F.md5(id_col.cast("string")), 1, n_hex)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, threshold_hex: str = "cc"
+) -> DataFrame:
+    """Deterministic two-way split: md5 prefix <= threshold → 'train'.
+
+    'cc' ≈ 205/256 ≈ 80.1% train. Pure projection — at 100 TB this is a
+    map-side gate fused into the scan, no shuffle, and re-runs bit-
+    identically on any cluster size.
+    """
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket_hex(F.col(id_col)) <= threshold_hex, "train").otherwise(
+            "test"
+        ),
+    )
+
+
+def quota_sample(
+    df: DataFrame, strata_cols: list[str], id_col: str, quota: int
+) -> DataFrame:
+    """At most `quota` rows per stratum, picked by md5 order (stable
+    uniform-without-replacement). One shuffle on the strata key; the
+    rank scan is streaming within each partition.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota)
+        .drop("sample_rank")
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """Overlapping fixed-width character chunks (context-window packing
+    prep). explode(sequence(...)) keeps everything JVM-side — one
+    generator expression per row, no Python, no shuffle; output rows =
+    ceil(len/stride) per doc.
+    """
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(starts).alias("chunk_start"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_start",
+        F.col(text_col)
+        .substr(F.col("chunk_start") + 1, F.lit(chunk_size))
+        .alias("chunk"),
+    )

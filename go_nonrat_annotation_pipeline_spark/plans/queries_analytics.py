@@ -1,0 +1,175 @@
+"""General-analytics surface beyond the reference's operator set:
+as-of join, discrete percentiles, pivot, CUBE grouping sets, and the
+skew-safe salted collect (SURVEY.md §2.5 'general operator surface').
+
+Every query is deterministic and oracle-mirrored; percentile selection
+uses the window-rank formulation in BOTH engines so no interpolation
+arithmetic can diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..operators.skew import salted_collect_set
+from ..sources.testdata import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Backward as-of join: purchase → most recent prior click of the same
+# user (classic attribution). One union-window pass per user, no range
+# blowup (operators/asof.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q_asof_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id AS _k, ts AS _ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, c.click_event_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c._k AND p.ts >= c._ts
+    """,
+    doc="as-of join: purchase attributed to latest prior click per user",
+)
+def q_asof_attribution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    return asof_join_backward(
+        purchases, clicks, "user_id", "ts", "ts", ["click_event_id"]
+    ).select("event_id", "user_id", "click_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles per group via window-rank selection — identical
+# rank arithmetic in both engines (no interpolation float risk).
+# ---------------------------------------------------------------------------
+@register(
+    "q_percentile_disc",
+    """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+           CAST(MAX(n) AS BIGINT) AS n_orders
+    FROM ranked GROUP BY o_orderstatus
+    """,
+    doc="discrete p50/p90 per group via window-rank selection",
+)
+def q_percentile_disc(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wc = W.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("o_totalprice"),
+        )
+    )
+    return ranked.groupBy("o_orderstatus").agg(
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: event_type → wide count columns (explicit value list keeps the
+# plan one-pass; Spark otherwise scans once just to discover values).
+# ---------------------------------------------------------------------------
+@register(
+    "q_pivot_event_counts",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
+    FROM events GROUP BY user_id % 10
+    """,
+    doc="pivot event_type into wide per-bucket count columns",
+)
+def q_pivot_event_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["purchase", "click", "signup"])
+        .count()
+        .select(
+            "user_bucket",
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("signup", F.lit(0)).alias("n_signup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets — all four (status, priority) subtotal combinations
+# in one expand + one hash-aggregate shuffle (same plan family as the
+# ROLLUP query).
+# ---------------------------------------------------------------------------
+@register(
+    "q_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets in one shuffle",
+)
+def q_cube_status_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe distinct-set consolidation: 3 hot keys over the whole fact
+# table; the salted two-phase plan never concentrates a key on one task
+# (operators/skew.py — collect_set has no map-side combine otherwise).
+# ---------------------------------------------------------------------------
+@register(
+    "q_skew_salted_tokens",
+    """
+    SELECT l_returnflag,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               LIST('S' || CAST(l_suppkey AS VARCHAR)))), '|') AS supp_set,
+           CAST(LEN(LIST_DISTINCT(LIST('S' || CAST(l_suppkey AS VARCHAR)))) AS BIGINT) AS n_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="skew-safe salted two-phase collect_set on 3 hot keys",
+)
+def q_skew_salted_tokens(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    tok = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    out = salted_collect_set(li, ["l_returnflag"], tok, n_salt=16)
+    return out.select(
+        "l_returnflag",
+        F.concat_ws("|", F.col("tokens")).alias("supp_set"),
+        F.size("tokens").cast("long").alias("n_supp"),
+    )

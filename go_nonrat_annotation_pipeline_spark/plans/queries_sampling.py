@@ -1,0 +1,157 @@
+"""Dataset-construction queries: deterministic train/test split, quota
+(stratified) sampling, document chunking, global top-k, and a time-range
+window join — the sampling/packing half of a training-data pipeline
+(operators/sampling.py; north-star extension, no reference counterpart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.sampling import chunk_text, quota_sample, train_test_split
+from ..sources.testdata import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split: pure map-side gate, replayable on any
+# cluster size (operators/sampling.py:train_test_split).
+# ---------------------------------------------------------------------------
+@register(
+    "q_train_test_split",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cc'
+                      THEN 'train' ELSE 'test' END AS split, n_chars
+          FROM documents)
+    GROUP BY split
+    """,
+    doc="deterministic md5-hash train/test split, per-split stats",
+)
+def q_train_test_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", "cc")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quota sampling per (source, lang) stratum — balanced-mixture
+# construction; md5 ordering makes the sample stable and uniform.
+# ---------------------------------------------------------------------------
+@register(
+    "q_quota_sample",
+    """
+    SELECT doc_id, source, lang FROM (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 7
+    """,
+    doc="stratified quota sample: ≤7 docs per (source, lang) by md5 order",
+)
+def q_quota_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, ["source", "lang"], "doc_id", 7).select(
+        "doc_id", "source", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping character chunking (context-window packing prep):
+# explode(sequence) keeps generation JVM-side, zero shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q_doc_chunking",
+    """
+    SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+           SUBSTR(text, CAST(start AS INT) + 1, 40) AS chunk
+    FROM (SELECT doc_id, text,
+                 UNNEST(RANGE(0, CAST(GREATEST(LEN(text) - 1, 0) AS BIGINT) + 1, 30)) AS start
+          FROM documents)
+    """,
+    doc="overlapping 40-char/stride-30 chunking via explode(sequence)",
+)
+def q_doc_chunking(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_text(docs, "doc_id", "text", chunk_size=40, stride=30)
+    return out.select(
+        "doc_id", F.col("chunk_start").cast("long").alias("chunk_start"), "chunk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+# per-partition heaps + single k-row merge, never a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q_global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="global top-100 by price: TakeOrderedAndProject, no full sort",
+)
+def q_global_topk(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window join: clicks within the preceding hour of each
+# purchase, same user — expressed as ONE range-frame window over the
+# unioned event stream (shuffle |events| once on user_id) instead of a
+# self-join (which would shuffle twice and explode pairs per hot user).
+# ---------------------------------------------------------------------------
+@register(
+    "q_range_window_count",
+    """
+    SELECT event_id, user_id, clicks_before FROM (
+      SELECT event_id, user_id, event_type,
+             CAST(COALESCE(SUM(is_click) OVER (
+               PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS clicks_before
+      FROM (SELECT event_id, user_id, event_type, ts,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+            FROM events))
+    WHERE event_type = 'purchase'
+    """,
+    doc="range join via range-frame window: clicks in [-3600s,-1s) per purchase",
+)
+def q_range_window_count(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, -1)
+    )
+    return (
+        flagged.withColumn(
+            "clicks_before",
+            F.coalesce(F.sum("is_click").over(w), F.lit(0)).cast("long"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "clicks_before")
+    )

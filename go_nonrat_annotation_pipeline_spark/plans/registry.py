@@ -52,6 +52,8 @@ def all_queries() -> dict[str, Q]:
         queries_streaming,
         queries_multimodal,
         queries_pipeline,
+        queries_analytics,
+        queries_sampling,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,111 @@
+"""Unit tests for the general-analytics operators (operators/asof.py,
+operators/skew.py): each is checked against a naive same-semantics
+reference implementation on in-memory frames, including the edge cases
+the union-window formulation must get right (ties at the same instant,
+keys with no prior right row, hot-key skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_nonrat_annotation_pipeline_spark.operators.asof import asof_join_backward
+from go_nonrat_annotation_pipeline_spark.operators.skew import salted_collect_set
+
+
+def test_asof_backward_matches_naive(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", 10, "p1"),
+            ("u1", 5, "p2"),   # before any click for u1 except ts=5 tie
+            ("u2", 7, "p3"),
+            ("u3", 1, "p4"),   # u3 has no clicks at all
+            ("u1", 100, "p5"),
+        ],
+        "k string, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 5, "c1"),   # tie with left ts=5 → inclusive match
+            ("u1", 9, "c2"),
+            ("u1", 11, "c3"),  # after ts=10 → not visible to p1
+            ("u1", 9, "c9"),   # duplicate instant → max payload wins
+            ("u2", 7, "c4"),
+            ("u2", 8, "c5"),
+        ],
+        "k string, ts long, cid string",
+    )
+    got = asof_join_backward(left, right, "k", "ts", "ts", ["cid"])
+    rows = {(r.k, r.ts, r.pid): r.cid for r in got.collect()}
+    assert rows == {
+        ("u1", 10, "p1"): "c9",   # latest ≤10 is ts=9, max payload c9
+        ("u1", 5, "p2"): "c1",    # inclusive tie
+        ("u2", 7, "p3"): "c4",
+        ("u3", 1, "p4"): None,    # no right rows for key
+        ("u1", 100, "p5"): "c3",
+    }
+    assert got.count() == left.count()
+
+
+def test_asof_backward_randomized_vs_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    lrows = [
+        (f"k{rnd.randint(0, 5)}", rnd.randint(0, 50), i) for i in range(200)
+    ]
+    rrows = [
+        (f"k{rnd.randint(0, 5)}", rnd.randint(0, 50), 1000 + i)
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(lrows, "k string, ts long, lid long")
+    right = spark.createDataFrame(rrows, "k string, ts long, rid long")
+    got = {
+        (r.k, r.ts, r.lid): r.rid
+        for r in asof_join_backward(
+            left, right, "k", "ts", "ts", ["rid"]
+        ).collect()
+    }
+    # naive python reference
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for k, ts, rid in rrows:
+        by_key.setdefault(k, []).append((ts, rid))
+    want = {}
+    for k, ts, lid in lrows:
+        cands = [(t, r) for (t, r) in by_key.get(k, []) if t <= ts]
+        # operator dedups per (key, ts) by max payload, then takes latest ts
+        want[(k, ts, lid)] = (
+            max(cands, key=lambda p: (p[0], p[1]))[1] if cands else None
+        )
+    assert got == want
+
+
+def test_salted_collect_set_matches_plain(spark):
+    # hot key 'A' holds 90% of rows — the shape salting exists for
+    rows = [("A", f"v{i % 37}") for i in range(900)] + [
+        ("B", f"v{i % 11}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {
+        r.k: r.tokens
+        for r in salted_collect_set(df, ["k"], F.col("v"), n_salt=8).collect()
+    }
+    want = {
+        r.k: r.tokens
+        for r in df.groupBy("k")
+        .agg(F.array_sort(F.collect_set("v")).alias("tokens"))
+        .collect()
+    }
+    assert got == want
+    assert len(got["A"]) == 37 and len(got["B"]) == 11
+
+
+def test_salted_collect_set_plan_has_two_aggregates(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 100).cast("string").alias("v"),
+    )
+    out = salted_collect_set(df, ["k"], F.col("v"), n_salt=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two-phase: an aggregate keyed on (k, salt) then one keyed on k
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
