@@ -149,6 +149,32 @@ def q_cube_status_priority(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured extraction: from_json projects the props JSON into a
+# typed struct inside codegen (one pass, no UDF); aggregation is then a
+# plain hash-agg on the extracted field.
+# ---------------------------------------------------------------------------
+@register(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(JSON_EXTRACT_STRING(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON props → typed struct (from_json) → per-type aggregate",
+)
+def q_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("p.k").cast("long").alias("sum_k"),
+        F.count("p.k").cast("long").alias("n_with_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew-safe distinct-set consolidation: 3 hot keys over the whole fact
 # table; the salted two-phase plan never concentrates a key on one task
 # (operators/skew.py — collect_set has no map-side combine otherwise).

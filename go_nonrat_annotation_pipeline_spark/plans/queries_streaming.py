@@ -10,6 +10,8 @@ import os
 from pyspark.sql import functions as F
 
 from ..streaming.stream import (
+    dedup_stream,
+    interval_join_purchases_clicks,
     read_events_stream,
     run_to_memory,
     stateful_sessions,
@@ -65,3 +67,37 @@ def stream_tumbling_agg(spark, sf_dir):
 def stream_stateful_sessions(spark, sf_dir):
     events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return run_to_memory(stateful_sessions(events, 30), "update")
+
+
+@register(
+    "stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts < p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    doc="streaming: watermarked stream-stream interval join (purchase←click)",
+)
+def stream_interval_join(spark, sf_dir):
+    path = os.path.join(sf_dir, "events.parquet")
+    ev_p = read_events_stream(spark, path).where(F.col("event_type") == "purchase")
+    ev_c = read_events_stream(spark, path).where(F.col("event_type") == "click")
+    return run_to_memory(
+        interval_join_purchases_clicks(ev_p, ev_c, 60), "append"
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="streaming: stateful dropDuplicates on (user_id, event_type)",
+)
+def stream_dedup_keys(spark, sf_dir):
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(
+        dedup_stream(events, ["user_id", "event_type"]), "append"
+    )

@@ -131,6 +131,46 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def interval_join_purchases_clicks(
+    purchases: DataFrame, clicks: DataFrame, lookback_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair for the
+    same user with the click inside [purchase_ts - lookback, purchase_ts).
+
+    Both sides carry watermarks so the join state is bounded: Spark
+    drops buffered clicks once the purchase-side watermark passes
+    click_ts + lookback — state size is O(users active in the lookback
+    horizon), not O(stream). Append output mode; pairs emit as soon as
+    both sides are present.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    return p.join(c, cond, "inner").select("purchase_id", "click_id", "user_id")
+
+
+def dedup_stream(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Streaming exact dedup on a key: dropDuplicates keeps first-seen
+    per key in streaming state (hash-partitioned on the key — the
+    distributed analogue of the batch exact-dedup operator). With a
+    watermark the state would be pruned by event time; the bounded test
+    source keeps it unbounded-but-finite.
+    """
+    return events.select(*key_cols).dropDuplicates(key_cols)
+
+
 def merge_into_store(annot_stream: DataFrame, store, run_ts) -> list:
     """Incremental-upsert bridge: stream → foreachBatch → AnnotStore MERGE.
 

@@ -116,3 +116,51 @@ def test_foreach_batch_merge(spark, tmp_path, incoming_dir):
     assert sum(s.updated for s in stats2) == 0
     assert sum(s.touched for s in stats2) == 2
     assert store.read().count() == 2
+
+
+def test_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join on crafted rows: boundary-inclusive
+    at -60min, exclusive at the purchase instant, user-scoped."""
+    from datetime import timedelta
+
+    from go_nonrat_annotation_pipeline_spark.streaming.stream import (
+        interval_join_purchases_clicks,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # (event_id, ts, user, type)
+        (1, t0, 7, "purchase"),
+        (2, t0 - timedelta(minutes=60), 7, "click"),   # boundary: included
+        (3, t0 - timedelta(minutes=61), 7, "click"),   # too old
+        (4, t0, 7, "click"),                            # same instant: excluded
+        (5, t0 - timedelta(minutes=5), 8, "click"),     # other user
+        (6, t0 - timedelta(minutes=1), 7, "click"),     # included
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    path = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(path)
+    sch = "event_id long, ts timestamp, user_id long, event_type string"
+    mk = lambda t: (  # noqa: E731
+        spark.readStream.schema(sch).parquet(path).where(F.col("event_type") == t)
+    )
+    out = run_to_memory(
+        interval_join_purchases_clicks(mk("purchase"), mk("click"), 60), "append"
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    assert got == {(1, 2), (1, 6)}
+
+
+def test_dedup_stream_first_seen(spark, tmp_path):
+    from go_nonrat_annotation_pipeline_spark.streaming.stream import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (1, "a")], "k long, t string"
+    )
+    path = str(tmp_path / "dup")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("k long, t string").parquet(path)
+    out = run_to_memory(dedup_stream(stream, ["k", "t"]), "append")
+    assert {(r.k, r.t) for r in out.collect()} == {(1, "a"), (2, "a"), (2, "b")}
