@@ -21,6 +21,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: fact rows scatter over n_salt sub-keys, the
+    (small) dim side replicates n_salt×, and the join runs on
+    (key, salt) — a hot fact key spreads across n_salt reduce tasks
+    instead of one straggler.
+
+    The fact-side salt is a deterministic hash of the whole row
+    (xxhash64 over all columns), NOT rand(): retries and speculative
+    tasks must re-derive the same placement. Semantically identical to
+    ``fact.join(dim, on, how)`` for how in (inner, left) — each fact row
+    still meets each matching dim row exactly once, because dim carries
+    every salt value.
+
+    Prefer ``F.broadcast(dim)`` when dim fits in memory (no shuffle at
+    all); salting is for the mid-size dim that must shuffle but joins
+    against a skewed fact key, where AQE's skew splitting can't help
+    (e.g. when the downstream op pins the partitioning).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    f = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salt)).cast("int")
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return f.join(d, [on, "_salt"], how).drop("_salt")
+
+
 def salted_collect_set(
     df: DataFrame,
     key_cols: list[str],

@@ -109,3 +109,25 @@ def test_salted_collect_set_plan_has_two_aggregates(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # two-phase: an aggregate keyed on (k, salt) then one keyed on k
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    from go_nonrat_annotation_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k % 3, i) for i, k in enumerate(range(300))], "k long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (5, "zzz")], "k long, label string"
+    )
+    got = {
+        (r.k, r.v, r.label)
+        for r in salted_join(fact, dim, "k", n_salt=4).collect()
+    }
+    want = {(r.k, r.v, r.label) for r in fact.join(dim, "k").collect()}
+    assert got == want and len(want) == 200
+
+    # left join keeps unmatched fact rows exactly once
+    got_l = salted_join(fact, dim, "k", n_salt=4, how="left")
+    assert got_l.count() == 300
+    assert got_l.where("label IS NULL").count() == 100

@@ -91,3 +91,47 @@ def test_rollup_single_aggregate_pass(spark, registry):
     p = plan(registry["q_rollup_status_priority"].spark(spark, SF))
     assert "Expand" in p
     assert p.count("Exchange") <= 2  # pre/post-agg exchange only
+
+
+def test_asof_join_single_shuffle(spark, registry):
+    """As-of join (union-window form): exactly one exchange — the
+    hash-partition on the key — and no join node at all."""
+    p = plan(registry["q_asof_attribution"].spark(spark, SF))
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Window" in p and "hashpartitioning" in p
+    # one exchange for the union-window pass, at most one more for the
+    # clicks-side (key, ts) dedup aggregate (formatted mode prints each
+    # node once in the tree and once as "(N) Exchange" in the details)
+    assert p.count(") Exchange") <= 2
+
+
+def test_global_topk_no_full_sort(spark, registry):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global Sort + Exchange rangepartitioning."""
+    p = plan(registry["q_global_topk"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+
+
+def test_chunking_stays_jvm_side(spark, registry):
+    """explode(sequence) chunking: a Generate node, zero exchanges, no
+    Python evaluation."""
+    p = plan(registry["q_doc_chunking"].spark(spark, SF))
+    assert "Generate" in p and "explode" in p
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_train_test_split_map_side(spark, registry):
+    """Hash split is a pure projection before the single aggregate
+    shuffle — one exchange total."""
+    p = plan(registry["q_train_test_split"].spark(spark, SF))
+    assert p.count(") Exchange") == 1
+
+
+def test_salted_join_no_single_partition(spark, registry):
+    """Salted skew join: no single-partition exchange anywhere, and the
+    join key carries the salt column."""
+    p = plan(registry["q_salted_skew_join"].spark(spark, SF))
+    assert "SinglePartition" not in p
+    assert "_salt" in p
