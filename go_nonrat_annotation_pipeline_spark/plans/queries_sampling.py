@@ -155,3 +155,42 @@ def q_range_window_count(spark, sf_dir):
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "clicks_before")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): docs stream in stable id order
+# per source; each lands in context window floor(preceding_chars/4096).
+# One window-function pass per source — the distributed form of the
+# sequential greedy packer every training pipeline runs.
+# ---------------------------------------------------------------------------
+@register(
+    "q_sequence_packing",
+    """
+    SELECT source, window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS window_chars
+    FROM (
+      SELECT source, n_chars,
+             CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_chars) / 4096.0) AS BIGINT)
+               AS window_id
+      FROM documents)
+    GROUP BY source, window_id
+    """,
+    doc="sequence packing: cumulative-fill 4096-char context windows per source",
+)
+def q_sequence_packing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    start = F.sum("n_chars").over(w) - F.col("n_chars")
+    packed = docs.select(
+        "source",
+        "n_chars",
+        F.floor(start / F.lit(4096.0)).cast("long").alias("window_id"),
+    )
+    return packed.groupBy("source", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("window_chars"),
+    )

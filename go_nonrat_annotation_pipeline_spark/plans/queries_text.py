@@ -168,3 +168,52 @@ def corpus_clean_pipeline(spark, sf_dir):
         F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram frequency: top-5 word bigrams per language. Bigram generation
+# is a higher-order-function expression (transform over an index
+# sequence — JVM codegen, no Python); the count + rank is one
+# hash-aggregate shuffle + one window shuffle on lang.
+# ---------------------------------------------------------------------------
+@register(
+    "text_ngram_topk",
+    """
+    SELECT lang, bigram, n FROM (
+      SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, bigram) AS rn
+      FROM (SELECT lang, ws[i] || ' ' || ws[i + 1] AS bigram
+            FROM (SELECT lang, STRING_SPLIT(text, ' ') AS ws FROM documents),
+                 UNNEST(RANGE(1, LEN(ws))) AS t(i))
+      GROUP BY lang, bigram)
+    WHERE rn <= 5
+    """,
+    doc="text: top-5 word bigrams per language (HOF n-gram generation)",
+)
+def text_ngram_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    # guard: sequence(1, 0) would COUNT DOWN in Spark where DuckDB's
+    # RANGE(1, 1) is empty — single-word docs must emit zero bigrams
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+        ),
+    )
+    exploded = docs.select("lang", F.explode(bigrams).alias("bigram"))
+    counted = exploded.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "bigram", "n")
+    )
