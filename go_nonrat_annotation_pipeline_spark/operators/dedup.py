@@ -209,6 +209,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same contract as ``connected_components``: (doc_id, cluster_id) with
+    cluster_id = component-minimum id.
+
+    Converges in O(log n) rounds regardless of component DIAMETER,
+    where min-label propagation needs O(diameter) rounds — this is the
+    adversarial-graph fallback for chain-shaped near-dup graphs (e.g.
+    sliding near-identical crawl snapshots, each similar only to its
+    neighbors). Each round is two groupBy-min shuffles + two joins on
+    the pair graph (≪ corpus); per-round ``localCheckpoint`` truncates
+    lineage exactly like the closure operators.
+
+    Invariant: after each round every edge points (larger → smaller),
+    so the edge set is its own canonical form and convergence is a
+    set-equality check (count + one-sided except) per round.
+    """
+    E = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
+            F.least(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = E.count()
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        # large-star: every neighbor larger than u links to u's minimum
+        sym = E.unionByName(
+            E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mb"))
+            .select("a", F.least("a", "_mb").alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: all of u's (smaller) neighbors + u link to the min
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .select(F.col("b").alias("x"), "m")
+            .unionByName(mins2.select(F.col("a").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
+            .select(
+                F.greatest("x", "m").alias("a"), F.least("x", "m").alias("b")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = small.count()
+        converged = n_new == n_edges and small.exceptAll(E).isEmpty()
+        E, n_edges = small, n_new
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_iterations} rounds"
+        )
+    roots = E.select(F.col("b").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return (
+        E.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+        .unionByName(roots)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

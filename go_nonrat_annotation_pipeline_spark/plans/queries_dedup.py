@@ -110,6 +110,34 @@ def dedup_clusters(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+@register(
+    "dedup_clusters_star",
+    f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    pairs AS (SELECT id_a, id_b FROM ver WHERE j >= 0.7),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS member FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.member
+    )
+    SELECT node AS doc_id, MIN(member) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="dedup: clusters via alternating large-star/small-star (O(log n) rounds)",
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Same contract and oracle as dedup_clusters; the star rounds are
+    diameter-independent — the scale path for chain-shaped graphs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.7)
+    return D.connected_components_star(pairs)
+
+
 # ---------------------------------------------------------------------------
 # SimHash signatures (map-side only)
 # ---------------------------------------------------------------------------

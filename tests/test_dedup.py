@@ -70,3 +70,37 @@ def test_cosine_kernel_agrees_with_expression(spark):
         ).collect()
     }
     assert expr == kern
+
+
+def test_star_components_match_label_propagation(spark):
+    """Alternating large-star/small-star equals min-label propagation on
+    a random pair graph, and converges on a 300-node path graph whose
+    diameter would exceed the propagation iteration cap."""
+    import random
+
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(11)
+    pairs = list({(min(a, b), max(a, b))
+                  for a, b in ((rnd.randint(0, 400), rnd.randint(0, 400))
+                               for _ in range(300)) if a != b})
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    }
+    want = {
+        (r.doc_id, r.cluster_id) for r in connected_components(df).collect()
+    }
+    assert got == want
+
+    # path graph 0-1-2-...-300: diameter 300 ≫ star's O(log n) rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    labels = connected_components_star(chain, max_iterations=30).collect()
+    assert len(labels) == 301
+    assert {r.cluster_id for r in labels} == {0}

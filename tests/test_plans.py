@@ -135,3 +135,18 @@ def test_salted_join_no_single_partition(spark, registry):
     p = plan(registry["q_salted_skew_join"].spark(spark, SF))
     assert "SinglePartition" not in p
     assert "_salt" in p
+
+
+def test_split_sink_partition_pruning(spark, tmp_path):
+    """S5 split sink: reading one species back hits only that hive
+    partition — PartitionFilters in the scan, other partitions pruned."""
+    df = spark.createDataFrame(
+        [(i, i % 3 + 1, f"line{i}") for i in range(60)],
+        "row_id long, species_type_key int, payload string",
+    )
+    path = str(tmp_path / "split")
+    df.write.mode("overwrite").partitionBy("species_type_key").parquet(path)
+    rd = spark.read.parquet(path).where("species_type_key = 2")
+    p = plan(rd)
+    assert "PartitionFilters: [isnotnull(species_type_key" in p
+    assert rd.count() == 20
