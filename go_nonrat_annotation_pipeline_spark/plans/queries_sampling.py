@@ -194,3 +194,38 @@ def q_sequence_packing(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("window_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted mixture construction: per-source Bernoulli rates (e.g. keep
+# 100% of src0, ~50% of src1, ~25% of everything else) through the same
+# md5-prefix gate — still a pure map-side projection, still replayable.
+# ---------------------------------------------------------------------------
+@register(
+    "q_mixture_weighted",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+          CASE source WHEN 'src0' THEN 'ff' WHEN 'src1' THEN '7f'
+               ELSE '3f' END
+    GROUP BY source
+    """,
+    doc="weighted mixture: per-source deterministic keep-rates via md5 gate",
+)
+def q_mixture_weighted(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import hash_bucket_hex
+
+    thr = F.when(F.col("source") == "src0", "ff").when(
+        F.col("source") == "src1", "7f"
+    ).otherwise("3f")
+    return (
+        docs.where(hash_bucket_hex(F.col("doc_id")) <= thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
