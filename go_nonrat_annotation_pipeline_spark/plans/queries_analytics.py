@@ -240,3 +240,61 @@ def q_skew_salted_tokens(spark, sf_dir):
         F.concat_ws("|", F.col("tokens")).alias("supp_set"),
         F.size("tokens").cast("long").alias("n_supp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery (filter vs a global aggregate): expressed as one DAG —
+# the 1-row aggregate broadcasts onto the fact scan; the threshold
+# compare is decimal-exact on both engines (price*n > total avoids a
+# float-average ulp divergence at the boundary).
+# ---------------------------------------------------------------------------
+@register(
+    "q_scalar_subquery",
+    """
+    WITH s AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tot,
+                      COUNT(*) AS n FROM orders)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders, s
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > tot
+    GROUP BY o_orderstatus
+    """,
+    doc="scalar subquery: above-global-average filter via broadcast 1-row agg",
+)
+def q_scalar_subquery(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.agg(
+        F.sum(price).cast("decimal(38,2)").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        orders.join(F.broadcast(s))
+        .where(price * F.col("n") > F.col("tot"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-distinct aggregation: two COUNT(DISTINCT) + COUNT(*) in one
+# statement — Catalyst compiles to a single Expand-based aggregate pass,
+# not three scans.
+# ---------------------------------------------------------------------------
+@register(
+    "q_multi_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="multi-distinct aggregate in one Expand pass",
+)
+def q_multi_distinct(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_cust"),
+        F.count_distinct(F.col("o_orderpriority")).alias("n_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

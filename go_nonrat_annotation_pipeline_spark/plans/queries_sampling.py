@@ -229,3 +229,42 @@ def q_mixture_weighted(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("kept_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup composite: chunk every doc (zero-shuffle generate),
+# then exact-dedup chunks by md5 — the standard pre-training combo
+# (boilerplate/navigation chunks collapse across documents). One
+# hash-partition shuffle total.
+# ---------------------------------------------------------------------------
+@register(
+    "q_chunk_dedup",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM (
+      SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, chunk_start) AS rn
+      FROM (
+        SELECT doc_id, start AS chunk_start,
+               MD5(SUBSTR(text, CAST(start AS INT) + 1, 40)) AS k
+        FROM (SELECT doc_id, text,
+                     UNNEST(RANGE(0, CAST(GREATEST(LEN(text) - 1, 0) AS BIGINT) + 1, 30)) AS start
+              FROM documents)))
+    """,
+    doc="chunk-level exact dedup: chunks collapsed by md5, keep-first stats",
+)
+def q_chunk_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "doc_id", "text", chunk_size=40, stride=30)
+    w = W.partitionBy("k").orderBy("doc_id", "chunk_start")
+    ranked = chunks.select(
+        "doc_id", "chunk_start", F.md5("chunk").alias("k")
+    ).withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("k").alias("n_distinct"),
+        F.sum(F.when(F.col("rn") == 1, 0).otherwise(1)).cast("long").alias(
+            "n_dropped"
+        ),
+    )

@@ -150,3 +150,20 @@ def test_split_sink_partition_pruning(spark, tmp_path):
     p = plan(rd)
     assert "PartitionFilters: [isnotnull(species_type_key" in p
     assert rd.count() == 20
+
+
+def test_multi_distinct_single_expand_pass(spark, registry):
+    """Two COUNT(DISTINCT) + COUNT(*) compile to one Expand-based
+    aggregate chain, not three scans of the table."""
+    p = plan(registry["q_multi_distinct"].spark(spark, SF))
+    assert "Expand" in p
+    assert p.count(") Scan parquet") == 1
+
+
+def test_scalar_subquery_broadcasts_one_row(spark, registry):
+    """The global-aggregate threshold joins as a broadcast of the 1-row
+    side — the fact table is scanned twice (agg + filter) but never
+    shuffled for the join."""
+    p = plan(registry["q_scalar_subquery"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
