@@ -268,3 +268,37 @@ def q_chunk_dedup(spark, sf_dir):
             "n_dropped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL sink → source round-trip: the interchange format every corpus
+# pipeline speaks. Write is partition-parallel line-delimited JSON; the
+# read-back supplies an explicit schema (no inference scan) — the
+# round-trip must be lossless, which the plain-documents oracle checks.
+# ---------------------------------------------------------------------------
+@register(
+    "q_jsonl_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+    doc="JSONL sink→source round-trip is lossless (explicit-schema read-back)",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "docs")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -162,6 +162,32 @@ def main():
         n_edges,
     )
 
+    # Connected components over a chain-heavy synthetic pair graph
+    # (worst case for label propagation): star rounds are O(log n) in
+    # component size, so wall-clock tracks EDGE volume, not diameter.
+    n_pairs = 50_000 * mult
+    chain_pairs = (
+        spark.range(n_pairs)
+        # 5k-node chains + 10% random shortcut edges
+        .select(
+            F.col("id").alias("id_a"),
+            F.when(F.col("id") % 10 == 0, (F.col("id") * 7919) % n_pairs)
+            .otherwise(F.col("id") + 1)
+            .alias("id_b"),
+        )
+        .where((F.col("id_a") % 5000) != 4999)
+        .repartition(64)
+        .localCheckpoint()
+    )
+    n_cp = chain_pairs.count()
+    timed(
+        "components_star(chains)",
+        lambda: D.connected_components_star(
+            chain_pairs, max_iterations=40
+        ).count(),
+        n_cp,
+    )
+
 
 if __name__ == "__main__":
     main()
