@@ -46,6 +46,16 @@ HEADLINE = [
     "corpus_clean_pipeline",
 ]
 
+# Round-2+ additions, timed separately so the frozen headline total stays
+# comparable round-over-round. Same best-of-2 + fingerprint treatment.
+EXTENDED = [
+    "q_asof_attribution",
+    "q_range_window_count",
+    "q_salted_skew_join",
+    "q_sequence_packing",
+    "dedup_clusters_star",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,29 +74,37 @@ def main():
     # execution on a shared box is dominated by JIT + planner warm-up and
     # machine noise; min-of-2 approximates the throughput a long-running
     # cluster job actually sees.
-    timings: dict[str, float] = {}
-    plans: dict[str, str] = {}
-    for name in HEADLINE:
-        q = registry.get(name)
-        if q is None:
-            continue
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # plan fingerprint: a regression in plan shape (extra shuffle, a
-        # broadcast degrading to sort-merge, Python creeping into a hot
-        # path) is caught even when ±30% wall-clock noise hides it
-        p = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-        plans[name] = (
-            f"x{p.count(') Exchange')}"
-            f"-b{p.count('BroadcastHashJoin')}"
-            f"-s{p.count('SortMergeJoin')}"
-            f"-py{p.count('EvalPython') + p.count('MapInPandas')}"
-        )
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
+        timings: dict[str, float] = {}
+        plans: dict[str, str] = {}
+        for name in names:
+            q = registry.get(name)
+            if q is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = q.spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            # plan fingerprint: a regression in plan shape (extra shuffle,
+            # a broadcast degrading to sort-merge, Python creeping into a
+            # hot path) is caught even when ±30% wall-clock noise hides it
+            p = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            plans[name] = (
+                f"x{p.count(') Exchange')}"
+                f"-b{p.count('BroadcastHashJoin')}"
+                f"-s{p.count('SortMergeJoin')}"
+                f"-py{p.count('EvalPython') + p.count('MapInPandas')}"
+            )
+        return timings, plans
+
+    timings, plans = run_set(HEADLINE)
+    ext_timings, ext_plans = run_set(EXTENDED)
+    plans.update(ext_plans)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -96,6 +114,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_queries": ext_timings,
                 "sf": sf,
                 "plan_fingerprints": plans,
             }
