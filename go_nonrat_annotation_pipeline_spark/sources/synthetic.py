@@ -17,7 +17,12 @@ the source IS the scale knob. Design points that make it cluster-real:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _VOCAB = [
     "spark", "scan", "join", "hash", "sort", "merge", "batch", "stream",
@@ -88,6 +93,32 @@ class SyntheticDocsReader(DataSourceReader):
             )
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded micro-batch stream over the same deterministic corpus:
+    offset = next doc_id; each batch advances by `rowsPerBatch` until
+    `rows`. Restart-safe — a replayed offset range regenerates identical
+    rows (the same exactly-once contract a file/Kafka source gives a
+    deterministic topic)."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rowsPerBatch", 250))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.per_batch, self.rows)
+        # a list ITERATOR: the runtime calls next() on it (prefetch
+        # cache) and pickles the rest — generators can't pickle, lists
+        # aren't iterators; iter(list) satisfies both
+        return iter([make_doc(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([make_doc(i) for i in range(start["next"], end["next"])])
+
+
 class SyntheticDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -101,6 +132,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

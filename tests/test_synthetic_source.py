@@ -48,3 +48,21 @@ def test_source_feeds_corpus_operators(spark):
     # idempotent on its own output
     again = exact_dedup(kept, key, "doc_id")
     assert again.where(F.col("is_dup")).count() == 0
+
+
+def test_source_streams_in_offset_batches(spark):
+    """The simpleStreamReader drains the bounded corpus through offset-
+    tracked micro-batches; the union of batches equals the batch read."""
+    from go_nonrat_annotation_pipeline_spark.streaming.stream import run_to_memory
+
+    synthetic.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", 1_000)
+        .option("rowsPerBatch", 300)
+        .load()
+    )
+    out = run_to_memory(stream.select("doc_id", "lang"), "append")
+    got = {(r.doc_id, r.lang) for r in out.collect()}
+    want = {(d[0], d[2]) for d in map(synthetic.make_doc, range(1_000))}
+    assert got == want
