@@ -134,9 +134,23 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("split", help="taxon splitter (same as --goaFileSplitter)")
     s.add_argument("input")
     s.add_argument("out_dir")
+    c = sub.add_parser("compact", help="small-file compaction on a parquet dir")
+    c.add_argument("path")
+    c.add_argument("--target-mb", type=int, default=256)
+    c.add_argument("--partition-col", default=None)
     args = p.parse_args(argv or ["run"])
     if args.cmd == "split":
         return cmd_split(args.input, args.out_dir)
+    if args.cmd == "compact":
+        from .sources.maintenance import compact_parquet, parquet_file_count
+
+        spark = get_spark("compact")
+        before = parquet_file_count(args.path)
+        after = compact_parquet(
+            spark, args.path, args.target_mb * 1024 * 1024, args.partition_col
+        )
+        print(f"compacted {args.path}: {before} -> {after} files")
+        return 0
     return cmd_run(args.gaf, args.store, args.audit)
 
 

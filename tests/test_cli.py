@@ -31,3 +31,14 @@ def test_full_run_demo_mode(tmp_path, capsys):
     assert "seeded new FULL_ANNOT store" in out
     assert "rat-ISO stale deleted:" in out
     assert "count iso: 0 -> 4 (+4)" in out
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from go_nonrat_annotation_pipeline_spark.__main__ import main
+
+    path = str(tmp_path / "frag")
+    spark.range(5_000).repartition(32).write.parquet(path)
+    assert main(["compact", path, "--target-mb", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "32 ->" in out
+    assert spark.read.parquet(path).count() == 5_000
