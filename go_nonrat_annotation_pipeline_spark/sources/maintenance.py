@@ -71,3 +71,27 @@ def read_with_evolved_schema(spark: SparkSession, path: str) -> DataFrame:
     written before a column existed surface it as NULL (mergeSchema —
     footer union only, no data rewrite)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def summarize_table(df: DataFrame) -> DataFrame:
+    """ANALYZE-lite: one pass over the table producing per-column
+    (nulls, approx_ndv) plus total rows — the statistics a planner (or a
+    human sizing a join strategy) needs. Single aggregate, no shuffle
+    beyond the final 1-row reduce; HLL-based ndv so a 100 TB table costs
+    one scan.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in df.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"_d_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (c, int(row["_rows"]), int(row[f"_n_{c}"]), int(row[f"_d_{c}"]))
+        for c in df.columns
+    ]
+    return spark.createDataFrame(
+        out, "column string, n_rows long, n_nulls long, approx_ndv long"
+    )

@@ -56,3 +56,17 @@ def test_schema_evolution_read(spark, tmp_path):
     out = read_with_evolved_schema(spark, path)
     rows = {r.id: (r.x, r.score) for r in out.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_summarize_table_one_pass(spark):
+    from go_nonrat_annotation_pipeline_spark.sources.maintenance import (
+        summarize_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, x string"
+    )
+    stats = {r.column: r for r in summarize_table(df).collect()}
+    assert stats["id"].n_rows == 4 and stats["id"].n_nulls == 0
+    assert stats["x"].n_nulls == 1
+    assert stats["x"].approx_ndv == 2  # exact at this cardinality
