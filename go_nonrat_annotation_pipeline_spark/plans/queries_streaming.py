@@ -101,3 +101,52 @@ def stream_dedup_keys(spark, sf_dir):
     return run_to_memory(
         dedup_stream(events, ["user_id", "event_type"]), "append"
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python streaming source → aggregate, oracle-checked: the
+# synthetic generator is a pure function of doc_id, so the expected
+# per-lang counts are computed AT IMPORT into a VALUES oracle — a fully
+# hash-checked streaming query over a custom DataSource.
+# ---------------------------------------------------------------------------
+def _synthetic_expected(rows: int = 2000) -> str:
+    from collections import Counter
+
+    from ..sources.synthetic import make_doc
+
+    cnt = Counter()
+    chars = Counter()
+    for i in range(rows):
+        d = make_doc(i)
+        cnt[d[2]] += 1
+        chars[d[2]] += d[4]
+    values = ",\n      ".join(
+        f"('{lang}', {cnt[lang]}, {chars[lang]})" for lang in sorted(cnt)
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + values
+        + "\n) t(lang, n_docs, total_chars)"
+    )
+
+
+@register(
+    "stream_synthetic_agg",
+    _synthetic_expected(2000),
+    doc="streaming: custom Python DataSource stream → per-lang aggregate vs VALUES",
+)
+def stream_synthetic_agg(spark, sf_dir):
+    from ..sources import synthetic
+
+    synthetic.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", 2000)
+        .option("rowsPerBatch", 500)
+        .load()
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return run_to_memory(agg, "complete")
