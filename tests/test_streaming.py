@@ -164,3 +164,66 @@ def test_dedup_stream_first_seen(spark, tmp_path):
     stream = spark.readStream.schema("k long, t string").parquet(path)
     out = run_to_memory(dedup_stream(stream, ["k", "t"]), "append")
     assert {(r.k, r.t) for r in out.collect()} == {(1, "a"), (2, "a"), (2, "b")}
+
+
+def test_watermark_drops_late_rows_in_append(spark, tmp_path):
+    """Two micro-batches through the file source: a row arriving in
+    batch 2 that is older than (max_seen_ts - watermark) must NOT revise
+    windows already finalized in append mode."""
+    from datetime import timedelta
+
+    from go_nonrat_annotation_pipeline_spark.streaming.stream import tumbling_counts
+
+    sch = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    path = str(tmp_path / "late_src")
+    os.makedirs(path)
+    t0 = datetime(2026, 1, 1, 0, 30, 0)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, name))
+
+    # batch 1: events at hour 0 and hour 6 — watermark (2h) advances to 4:00,
+    # closing the hour-0 window
+    write_batch(
+        [
+            (1, t0, 7, "click", 1.0),
+            (2, t0 + timedelta(hours=6), 7, "click", 1.0),
+        ],
+        "b1",
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    agg = tumbling_counts(stream, "1 hour", "2 hours")
+    name = "late_test_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for hour 0 (behind the 4:00 watermark) and a
+        # fresh row at hour 7
+        write_batch(
+            [
+                (3, t0 + timedelta(minutes=5), 7, "click", 1.0),  # late, dropped
+                (4, t0 + timedelta(hours=7), 7, "click", 1.0),
+            ],
+            "b2",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["window"]["start"].hour, r["n"]) for r in spark.table(name).collect()
+    }
+    # hour-0 window emitted once with n=1 — the late row never re-counted
+    assert (0, 1) in out
+    assert (0, 2) not in out
