@@ -227,3 +227,46 @@ def test_watermark_drops_late_rows_in_append(spark, tmp_path):
     # hour-0 window emitted once with n=1 — the late row never re-counted
     assert (0, 1) in out
     assert (0, 2) not in out
+
+
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Stop/restart against the same checkpointLocation: committed
+    micro-batches are not re-emitted (exactly-once file-source replay)."""
+    sch = "event_id long, v long"
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_src(rows, name):
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema(sch)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_src([(1, 10), (2, 20)], "b1")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # restart from the same checkpoint; only the new file is processed
+    write_src([(3, 30)], "b2")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.event_id, r.v) for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {(1, 10), (2, 20), (3, 30)}  # no duplicates, no loss
