@@ -133,22 +133,28 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: partition the corpus into centroid cells,
     probe only the n_probe cells nearest each query.
 
-    The scale path alongside LSH banding (hyperplane_bucket): centroids
-    here are a deterministic corpus sample (vec_id < n_centroids) so the
-    oracle reproduces the index exactly; production swaps in k-means
-    centroids — the plumbing (broadcast centroids, cell-keyed candidate
-    join) is identical. Corpus-side work is one map-side assignment +
+    The scale path alongside LSH banding (hyperplane_bucket): default
+    centroids are a deterministic corpus sample (vec_id < n_centroids)
+    so the oracle reproduces the index exactly; pass
+    ``centroids=(cent_id, cv)`` — e.g. from operators/kmeans.kmeans_fit
+    — for trained cells (tighter cells ⇒ better recall per probe). The
+    plumbing is identical: broadcast centroids, map-side assignment,
     one equi-join on the cell key.
     """
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vc")
     )
-    cents = df.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cv")
+    cents = (
+        centroids
+        if centroids is not None
+        else df.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
     )
     assigned = ivf_assign(corpus, cents, "neighbor_id", "vc")
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
+from ..operators.util import ensure_parallelism
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -210,4 +211,27 @@ def sim_lsh_multitable(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5)
     return S.lsh_multitable_topk(
         emb, queries, "vec_id", "embedding", 5, _MT_PLANES, _MT_TABLES
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF with TRAINED centroids (operators/kmeans): Lloyd's iterations are
+# deterministic but not SQL-expressible, so this entry has no DuckDB
+# oracle (driver records the weaker rows-only check); exactness of the
+# surrounding plumbing is covered by sim_ivf_ann's full oracle, and the
+# trainer itself by tests/test_kmeans.py (determinism + inertia).
+# ---------------------------------------------------------------------------
+@register(
+    "sim_ivf_trained",
+    None,
+    doc="similarity: IVF ANN over k-means-trained cells (rows-only check)",
+)
+def sim_ivf_trained(spark, sf_dir):
+    from ..operators.kmeans import kmeans_fit
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_fit(emb, k=8, max_iter=4).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_probe=2, centroids=cents
     )
