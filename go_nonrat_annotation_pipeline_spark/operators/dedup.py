@@ -477,3 +477,72 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): the min
+    k-gram hash of every w-length sliding window, deduplicated — a
+    guarantee-bearing fingerprint set (any shared substring of length
+    ≥ w+k-1 tokens yields at least one shared fingerprint).
+
+    All JVM-side: shingle hashes from functions/hashing (shared with the
+    DuckDB mirror), posexplode + one rolling-min window pass per doc,
+    distinct. max_doc_freq drops ubiquitous fingerprints (boilerplate
+    stop-shingles) — the standard guard that keeps the downstream
+    self-join from exploding on a 100 TB corpus.
+    """
+    from ..functions import hashing as H
+
+    sh = H.shingle_hashes(H.word_hashes(F.split(F.col(text_col), " ")), k)
+    ex = df.select(F.col(id_col), F.posexplode(sh).alias("pos", "h"))
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    fps = (
+        ex.withColumn("fp", F.min("h").over(win))
+        .select(id_col, "fp")
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    return fps
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 8,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """Near-dup pairs sharing ≥ min_shared winnowing fingerprints.
+
+    Candidate generation is an equi-join on the fingerprint value (only
+    colliding docs travel), bounded by the stop-fingerprint cap; the
+    shared-count aggregate is one shuffle on the pair key.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, max_doc_freq)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

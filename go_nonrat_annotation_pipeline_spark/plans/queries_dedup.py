@@ -270,3 +270,42 @@ def dedup_embedding_bucketed(spark, sf_dir):
     return D.embedding_near_dup_pairs_lsh(
         emb, "vec_id", "embedding", 0.45, _NDP_PLANES, _NDP_TABLES, 64
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): min k-gram hash per sliding window →
+# stop-fingerprint cap → self-join on fingerprint → shared-count gate.
+# Guarantee-bearing near-dup detection (any shared ≥ w+k-1-token run
+# yields a shared fingerprint) — stronger than the plain rolling-hash
+# text_fingerprint row.
+# ---------------------------------------------------------------------------
+_WIN_SH = H.sql_shingle_hashes(H.sql_word_hashes(_WORDS), 3)
+
+
+@register(
+    "dedup_winnowing",
+    f"""
+    WITH wh AS (SELECT doc_id, {_WIN_SH} AS sh FROM documents),
+    ex AS (SELECT doc_id, pos, LIST_EXTRACT(sh, CAST(pos AS INT)) AS h
+           FROM (SELECT doc_id, sh, UNNEST(RANGE(1, LEN(sh) + 1)) AS pos
+                 FROM wh)),
+    fp0 AS (SELECT DISTINCT doc_id,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM ex),
+    hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > 64),
+    fps AS (SELECT * FROM fp0 WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 8
+    """,
+    doc="dedup: winnowing (MOSS) fingerprint pairs sharing ≥8 fingerprints",
+)
+def dedup_winnowing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnow_near_dup_pairs(
+        docs, "doc_id", "text", k=3, w=4, min_shared=8, max_doc_freq=64
+    ).select(
+        "id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps")
+    )

@@ -104,3 +104,26 @@ def test_star_components_match_label_propagation(spark):
     labels = connected_components_star(chain, max_iterations=30).collect()
     assert len(labels) == 301
     assert {r.cluster_id for r in labels} == {0}
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's core guarantee: two docs sharing a long token run
+    share at least one fingerprint; disjoint docs share none."""
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"one two {shared_run} three"),
+        (2, f"{shared_run} nine ten eleven"),
+        (3, "completely different words here entirely unrelated tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    sets: dict[int, set] = {}
+    for r in fps.collect():
+        sets.setdefault(r.doc_id, set()).add(r.fp)
+    assert sets[1] & sets[2]      # shared 8-token run ⇒ shared fingerprint
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
