@@ -498,13 +498,27 @@ def winnow_fingerprints(
     stop-shingles) — the standard guard that keeps the downstream
     self-join from exploding on a 100 TB corpus.
     """
-    from ..functions import hashing as H
-
-    sh = H.shingle_hashes(H.word_hashes(F.split(F.col(text_col), " ")), k)
-    ex = df.select(F.col(id_col), F.posexplode(sh).alias("pos", "h"))
-    win = (
-        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    # relational shingles (posexplode words → window lead), NOT the
+    # array-lambda form: higher-order functions evaluate interpreted
+    # row-at-a-time while this stays in whole-stage codegen (same
+    # pattern and arithmetic as minhash_lsh_pairs, same DuckDB mirror)
+    base = ensure_parallelism(df.select(id_col, text_col))
+    words = base.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_w"),
     )
+    hashed = words.select(id_col, "pos", H.char_hash(F.col("_w")).alias("_h"))
+    lead_win = Window.partitionBy(id_col).orderBy("pos")
+    terms = [
+        (F.col("_h") if j == 0 else F.lead("_h", j).over(lead_win))
+        * F.lit(31 ** (k - 1 - j))
+        for j in range(k)
+    ]
+    ex = hashed.select(
+        id_col, "pos", (sum(terms) % F.lit(H.P)).alias("h")
+    ).where(F.col("h").isNotNull())
+    # rolling min shares the same (id, pos) partitioning — no new shuffle
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     fps = (
         ex.withColumn("fp", F.min("h").over(win))
         .select(id_col, "fp")

@@ -45,14 +45,21 @@ def kmeans_fit(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     ).localCheckpoint()
 
-    # deterministic seed: k hash-smallest vectors
-    w = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-    cents = (
-        vecs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .select((F.col("_rn") - 1).alias("cent_id"), F.col("v").alias("cv"))
-        .localCheckpoint()
+    # deterministic seed: k hash-smallest vectors via orderBy().limit(k)
+    # — TakeOrderedAndProject (per-partition heaps), NEVER a global
+    # window (row_number with no partition funnels the corpus through
+    # one task); the k seed rows are collected (tiny) and re-emitted
+    # with dense cent_ids
+    seed_rows = (
+        vecs.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .collect()
     )
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(r.v)) for i, r in enumerate(seed_rows)],
+        "cent_id int, cv array<double>",
+    ).localCheckpoint()
 
     norm = lambda c: F.transform(  # noqa: E731
         c,
