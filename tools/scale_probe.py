@@ -188,6 +188,17 @@ def main():
         n_cp,
     )
 
+    # k-means trainer: per-iteration cost = broadcast-assign (map-side)
+    # + per-dimension partial-sum shuffle; rows/s should track corpus
+    # size linearly since k and dim are fixed.
+    from go_nonrat_annotation_pipeline_spark.operators.kmeans import kmeans_fit
+
+    timed(
+        "kmeans_fit(k=16, 3 iters)",
+        lambda: kmeans_fit(emb, k=16, max_iter=3).count(),
+        n_emb,
+    )
+
 
 if __name__ == "__main__":
     main()
