@@ -150,3 +150,44 @@ def stream_synthetic_agg(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
     return run_to_memory(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Native session_window on a STREAM with watermark — Spark's built-in
+# sessionization merging windows incrementally in state (vs. the custom
+# applyInPandasWithState fold above; same oracle family as w2/w3).
+# ---------------------------------------------------------------------------
+@register(
+    "stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="streaming: native session_window + watermark (stateful merge)",
+)
+def stream_session_window(spark, sf_dir):
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+    )
+    return run_to_memory(agg, "complete")

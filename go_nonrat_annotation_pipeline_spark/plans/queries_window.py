@@ -135,3 +135,45 @@ def set_array_algebra(spark, sf_dir):
         F.concat_ws("|", F.col("supp")).alias("supp_set"),
         F.concat_ws("|", F.array_except("ptok", "supp")).alias("part_minus_supp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W3 — native session_window (Spark's built-in gap-merge sessionization;
+# same semantics as the lag+cumsum form in w2 and the stateful stream
+# variant — three formulations, one oracle family). groupBy(user,
+# session_window) is one shuffle; windows merge inside the aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "w3_session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="W: native session_window sessionization (gap 30min)",
+)
+def w3_session_window_native(spark, sf_dir):
+    from ..sources.testdata import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+    )
