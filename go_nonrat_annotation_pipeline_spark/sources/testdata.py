@@ -10,6 +10,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import TESTDATA_TABLES
 
@@ -19,14 +20,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and convert to a µs timestamp
-        # (matching DuckDB's nanos→µs truncation on the oracle side).
+        # events.parquet ts has shipped as either TIMESTAMP(NANOS) (which
+        # Spark's parquet reader rejects without nanosAsLong) or native
+        # TIMESTAMP(MICROS); adapt to whichever this dataset has.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer div, NOT /1000: double division rounds the µs at ~1e15
-        # magnitudes (ulp 0.25) — off-by-one µs vs DuckDB's truncation
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        t = df.schema["ts"].dataType
+        if isinstance(t, T.LongType):
+            # integer div, NOT /1000: double division rounds the µs at ~1e15
+            # magnitudes (ulp 0.25) — off-by-one µs vs DuckDB's truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(t, T.TimestampNTZType):
+            # session tz is UTC, so NTZ→LTZ is value-preserving and keeps
+            # downstream window/watermark code on one timestamp type
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -16,20 +16,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming scan of the events parquet with ns→µs ts conversion.
+    """Streaming scan of the events parquet, adapting to the file's ts type
+    (int64 TIMESTAMP(NANOS) via the nanosAsLong workaround, or a native
+    timestamp column).
 
     FileStreamSource needs a directory; `path` may be a single file, so
     stream its parent dir with a pathGlobFilter pinning the file name.
@@ -41,14 +44,20 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         base, fname = os.path.dirname(path), os.path.basename(path)
     else:
         base, fname = path, "*.parquet"
+    # cheap footer-only batch read to learn the physical ts type
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     src = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_type))
         .option("pathGlobFilter", fname)
         .parquet(base)
     )
-    # integer div (see sources/testdata.load_table): double division
-    # rounds the µs at ns-epoch magnitudes
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        # integer div (see sources/testdata.load_table): double division
+        # rounds the µs at ns-epoch magnitudes
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
 
 
 def tumbling_counts(
