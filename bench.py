@@ -53,7 +53,10 @@ EXTENDED = [
     "q_range_window_count",
     "q_salted_skew_join",
     "q_sequence_packing",
-    "dedup_clusters_star",
+    # round 3: dedup_clusters now IS the star algorithm (r2's
+    # dedup_clusters_star renamed; min-label became dedup_clusters_minlabel)
+    # — same operator timed, comparable to r2's dedup_clusters_star row.
+    "dedup_clusters",
 ]
 
 

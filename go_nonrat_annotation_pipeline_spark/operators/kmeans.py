@@ -35,11 +35,19 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 16,
     max_iter: int = 10,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Train k cosine-metric centroids; returns (cent_id, cv) with cv a
     unit-normalized array<double>. Iterations: broadcast-assign +
     one-shuffle mean update; stops early when assignments are stable
     (same total movement check via centroid delta).
+
+    ``early_stop=False`` runs exactly ``max_iter`` update steps — used by
+    the oracle-checked registry query so the DuckDB mirror (which unrolls
+    the iterations as chained CTEs and cannot express the data-dependent
+    break) performs the identical number of updates. The stop check
+    tolerates ~1e-9 centroid movement, so with it enabled the two engines
+    could legitimately perform different update counts near convergence.
     """
     vecs = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
@@ -103,15 +111,18 @@ def kmeans_fit(
         # empty cells: keep the previous centroid
         kept = cents.join(new_cents.select("cent_id"), "cent_id", "left_anti")
         cents2 = new_cents.unionByName(kept).localCheckpoint()
-        moved = (
-            cents.select("cent_id", F.col("cv").alias("old"))
-            .join(cents2, "cent_id")
-            .where(F.round(cosine(F.col("old"), F.col("cv")), 9) < 1.0)
-            .isEmpty()
-        )
-        cents = cents2
-        if moved:
-            break
+        if early_stop:
+            moved = (
+                cents.select("cent_id", F.col("cv").alias("old"))
+                .join(cents2, "cent_id")
+                .where(F.round(cosine(F.col("old"), F.col("cv")), 9) < 1.0)
+                .isEmpty()
+            )
+            cents = cents2
+            if moved:
+                break
+        else:
+            cents = cents2
     return cents
 
 

@@ -102,16 +102,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     SELECT node AS doc_id, MIN(member) AS cluster_id
     FROM reach GROUP BY node
     """,
-    doc="dedup: near-dup clusters via iterative connected components",
+    doc="dedup: near-dup clusters via alternating large-star/small-star "
+    "connected components (O(log n) rounds — the default scale path)",
 )
 def dedup_clusters(spark, sf_dir):
+    """Default clustering = star components: round count is
+    diameter-independent (SCALE.md: a 5,000-diameter chain graph that
+    min-label propagation could not converge in bounded time). Min-label
+    (dedup_clusters_minlabel) remains the dense-graph fast path — pick it
+    only when clusters are known to be LSH-dense (diameter ~1-3)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.7)
-    return D.connected_components(pairs)
+    return D.connected_components_star(pairs)
 
 
 @register(
-    "dedup_clusters_star",
+    "dedup_clusters_minlabel",
     f"""
     WITH RECURSIVE {_PAIR_CTES},
     pairs AS (SELECT id_a, id_b FROM ver WHERE j >= 0.7),
@@ -128,14 +134,16 @@ def dedup_clusters(spark, sf_dir):
     SELECT node AS doc_id, MIN(member) AS cluster_id
     FROM reach GROUP BY node
     """,
-    doc="dedup: clusters via alternating large-star/small-star (O(log n) rounds)",
+    doc="dedup: clusters via min-label propagation (O(diameter) rounds — "
+    "dense-graph fast path; star is the default, see dedup_clusters)",
 )
-def dedup_clusters_star(spark, sf_dir):
-    """Same contract and oracle as dedup_clusters; the star rounds are
-    diameter-independent — the scale path for chain-shaped graphs."""
+def dedup_clusters_minlabel(spark, sf_dir):
+    """Same contract and oracle as dedup_clusters; min-label does one
+    groupBy-min per round so it wins on LSH-dense low-diameter clusters,
+    but rounds grow with graph diameter — not the safe default."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.7)
-    return D.connected_components_star(pairs)
+    return D.connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------

