@@ -73,10 +73,14 @@ def main():
         "overwrite"
     ).save()
 
-    # Steady-state wall: best of 2 executions per query. A single cold
+    # Steady-state wall: best of 3 executions per query. A single cold
     # execution on a shared box is dominated by JIT + planner warm-up and
-    # machine noise; min-of-2 approximates the throughput a long-running
-    # cluster job actually sees.
+    # machine noise; the min approximates the throughput a long-running
+    # cluster job actually sees. (Raised from 2 to 3 in round 3: r2's
+    # text_quality_score "+117%" turned out to be pure box-load noise —
+    # idle re-measurement landed back on the r1 number with an unchanged
+    # plan fingerprint; one extra rep halves the odds a load spike
+    # poisons both samples of a short map-side query.)
     def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
         timings: dict[str, float] = {}
         plans: dict[str, str] = {}
@@ -85,7 +89,7 @@ def main():
             if q is None:
                 continue
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = q.spark(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -109,6 +113,39 @@ def main():
     ext_timings, ext_plans = run_set(EXTENDED)
     plans.update(ext_plans)
 
+    # self-reporting plan regressions: diff fingerprints against the most
+    # recent recorded round (BENCH_r{N}.json at the repo root) so an extra
+    # shuffle / lost broadcast / Python creep shows up in the bench line
+    # itself, not only in a manual comparison
+    fingerprint_diff = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    if prior:
+        try:
+            with open(os.path.join(here, prior[-1])) as fh:
+                rec = json.load(fh)
+            old = rec.get("plan_fingerprints")
+            if old is None:
+                # the driver wraps the bench stdout inside a "tail" string;
+                # recover the JSON line from it
+                tail = rec.get("tail", "")
+                i = tail.rfind('{"metric"')
+                old = (
+                    json.loads(tail[i:]).get("plan_fingerprints", {})
+                    if i >= 0
+                    else {}
+                )
+            fingerprint_diff = {
+                q: f"{old[q]}->{fp}"
+                for q, fp in plans.items()
+                if q in old and old[q] != fp
+            }
+        except (OSError, ValueError):
+            pass
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +157,7 @@ def main():
                 "extended_queries": ext_timings,
                 "sf": sf,
                 "plan_fingerprints": plans,
+                "fingerprint_diff": fingerprint_diff,
             }
         )
     )

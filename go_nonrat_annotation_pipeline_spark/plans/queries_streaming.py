@@ -191,3 +191,113 @@ def stream_session_window(spark, sf_dir):
         .select("user_id", "session_start", "n_events")
     )
     return run_to_memory(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# E2E incremental upsert THROUGH the stream path: the mouse species job
+# (GAF scan → QC → consolidation) delivered as parquet micro-batches
+# (maxFilesPerTrigger=1) into foreachBatch → AnnotStore.merge_upsert,
+# then the same threshold-guarded stale delete the batch job runs.
+# Mirrors pipeline_e2e_upsert minus the chinchilla read-back job; the
+# 9003 stale seed row is deleted, 9001 touches, 9002 updates, six rows
+# insert. Safe to split across micro-batches: A4 consolidation leaves
+# the 9-field merge key unique, and run_ts is pinned so every batch
+# stamps identical timestamps.
+# ---------------------------------------------------------------------------
+def _stream_upsert_golden():
+    # safe at module scope: queries_pipeline registers earlier in
+    # plans/registry.py and does not import this module
+    from .queries_pipeline import _GOLDEN_UPSERT, _sql_lit
+
+    rows = [
+        r
+        for r in _GOLDEN_UPSERT
+        # drop the chinchilla read-back insert (with_info = 'RGD:401'):
+        # this variant runs only the mouse stream job
+        if r[4] != "RGD:401"
+    ]
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(
+            "  (" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+        )
+        + "\n) t(term_acc, annotated_object_rgd_id, evidence, ref_rgd_id, "
+        "with_info, xref_source, notes, data_src, object_symbol, "
+        "created_date, last_modified_date)"
+    )
+
+
+@register(
+    "stream_e2e_upsert",
+    _stream_upsert_golden(),
+    doc="streaming E2E: micro-batched mouse job -> foreachBatch MERGE + "
+    "stale delete vs golden VALUES",
+)
+def stream_e2e_upsert(spark, sf_dir):
+    import tempfile
+    from datetime import timedelta
+
+    from ..pipeline.config import MOUSE, PipelineConfig
+    from ..pipeline.consolidate import consolidate_with_info, merge_duplicates
+    from ..pipeline.fixtures import (
+        MGI_REF,
+        build_dims,
+        seed_full_annot,
+        write_mouse_gaf,
+    )
+    from ..pipeline.gaf import filter_sources, read_gaf
+    from ..pipeline.qc import derive_annotations
+    from ..pipeline.sink import AnnotStore
+    from ..streaming.stream import merge_into_store
+    from .queries_pipeline import _RUN_TS
+
+    cfg = PipelineConfig()
+    dims = build_dims(spark)
+    root = tempfile.mkdtemp(prefix="stream_e2e_upsert_")
+    gaf_path = write_mouse_gaf(os.path.join(root, "mgi.gaf"))
+
+    store = AnnotStore(spark, os.path.join(root, "full_annot"))
+    store.seed(seed_full_annot(spark, cfg))
+    count0 = store.count_for_ref(dims.rgd_ids, MGI_REF, MOUSE)
+
+    # batch-derive the incoming annotations, then DELIVER them as a stream
+    gaf = filter_sources(read_gaf(spark, [gaf_path]), cfg.mouse_sources)
+    qc = derive_annotations(spark, gaf, dims, cfg, MOUSE, MGI_REF)
+    incoming = merge_duplicates(consolidate_with_info(qc.annots)).drop("source_db")
+
+    staged = os.path.join(root, "incoming")
+    incoming.repartition(3).write.parquet(staged)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(staged)
+    )
+    merge_into_store(stream, store, _RUN_TS)
+
+    store.delete_stale(
+        dims.rgd_ids,
+        cfg.created_by,
+        _RUN_TS - timedelta(minutes=cfg.stale_cutoff_minutes),
+        MGI_REF,
+        count0,
+        cfg.stale_annot_delete_threshold,
+        MOUSE,
+    )
+    return store.read().select(
+        "term_acc",
+        F.col("annotated_object_rgd_id").cast("int").alias(
+            "annotated_object_rgd_id"
+        ),
+        "evidence",
+        F.col("ref_rgd_id").cast("int").alias("ref_rgd_id"),
+        "with_info",
+        "xref_source",
+        "notes",
+        "data_src",
+        "object_symbol",
+        F.date_format("created_date", "yyyy-MM-dd HH:mm:ss").alias("created_date"),
+        F.date_format("last_modified_date", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_modified_date"
+        ),
+    )
+

@@ -17,13 +17,39 @@ from ..schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
+    """Physical timestamp unit ('ns', 'us', 'ms', ...) of a parquet
+    column, read from the footer with pyarrow — no Spark session conf
+    involved, so callers can decide whether the nanosAsLong workaround
+    is needed BEFORE touching session state. Returns None when the
+    column is absent or not a timestamp."""
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        parts = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not parts:
+            return None
+        p = os.path.join(p, parts[0])
+    try:
+        t = pq.read_schema(p).field(col).type
+    except (KeyError, OSError):
+        return None
+    return getattr(t, "unit", None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet ts has shipped as either TIMESTAMP(NANOS) (which
         # Spark's parquet reader rejects without nanosAsLong) or native
-        # TIMESTAMP(MICROS); adapt to whichever this dataset has.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(MICROS); adapt to whichever this dataset has. The
+        # legacy conf is session-global and must stay set through job
+        # EXECUTION (the scan re-reads it task-side), so set it only when
+        # the footer actually says nanos — a micros dataset leaves session
+        # state untouched and other TIMESTAMP(NANOS) columns unaffected.
+        if parquet_ts_unit(path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         t = df.schema["ts"].dataType
         if isinstance(t, T.LongType):

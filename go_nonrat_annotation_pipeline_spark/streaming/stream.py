@@ -36,9 +36,20 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
     FileStreamSource needs a directory; `path` may be a single file, so
     stream its parent dir with a pathGlobFilter pinning the file name.
+
+    The schema and ts conversion are fixed from a ONE-SHOT footer read of
+    the files present at call time — correct for the bounded test source;
+    a live directory where later-arriving files switch ts encoding would
+    need a per-file adapter upstream instead.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
+
+    from ..sources.testdata import parquet_ts_unit
+
+    # nanosAsLong is session-global; only set it when the footer actually
+    # says TIMESTAMP(NANOS) (see sources/testdata.load_table)
+    if parquet_ts_unit(path) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     if path.endswith(".parquet"):
         base, fname = os.path.dirname(path), os.path.basename(path)
@@ -57,6 +68,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):
         src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif not isinstance(ts_type, T.TimestampType):
+        # fail HERE with a clear message instead of an obscure
+        # watermark/window error downstream (e.g. a schema regression
+        # shipping ts as string)
+        raise TypeError(
+            f"events ts column has unsupported type {ts_type}; expected "
+            "TIMESTAMP(NANOS) int64, TIMESTAMP_NTZ, or TIMESTAMP"
+        )
     return src
 
 
