@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import _cosine_kernel, cosine
 
 
 def _as_double(vec):
@@ -36,6 +36,7 @@ def kmeans_fit(
     k: int = 16,
     max_iter: int = 10,
     early_stop: bool = True,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """Train k cosine-metric centroids; returns (cent_id, cv) with cv a
     unit-normalized array<double>. Iterations: broadcast-assign +
@@ -48,6 +49,15 @@ def kmeans_fit(
     break) performs the identical number of updates. The stop check
     tolerates ~1e-9 centroid movement, so with it enabled the two engines
     could legitimately perform different update counts near convergence.
+
+    ``assign_kernel=True`` scores the N×k assignment crossJoin with the
+    Arrow numpy cosine kernel (one einsum per batch) instead of the
+    interpreted higher-order-function expression — the scale setting for
+    the trainer's hot loop (same switch as the LSH verify stage's
+    verify_kernel). Assignment is an argmax over cosines, so the fitted
+    centroids are bit-identical unless two cells tie to ~1e-15
+    (tests/test_kmeans.py asserts kernel-vs-expression agreement);
+    oracle-exact registry paths keep the default expression form.
     """
     vecs = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
@@ -75,9 +85,11 @@ def kmeans_fit(
         / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, y: a + y * y)),
     )
 
+    cos_fn = _cosine_kernel() if assign_kernel else cosine
+
     for _ in range(max_iter):
         scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "_cos", cosine(F.col("v"), F.col("cv"))
+            "_cos", cos_fn(F.col("v"), F.col("cv"))
         )
         ww = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cent_id"))
         assigned = (

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import _cosine_kernel, cosine
 
 LSH_MULT = 2654435761  # Knuth multiplicative constant
 LSH_MOD = 2_147_483_647
@@ -107,15 +107,23 @@ def ivf_assign(
     vec_col: str = "v",
     cent_id: str = "cent_id",
     cent_vec: str = "cv",
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (IVF cells).
 
     centroids is dimension-sized and broadcast; the corpus never
     shuffles — assignment is a map-side argmax over the broadcast list.
     Deterministic tie-break: higher cosine first, then lower centroid id.
+
+    assign_kernel=True scores the N×k crossJoin with the Arrow numpy
+    cosine kernel (scale setting — same switch as verify_kernel /
+    kmeans_fit's assign_kernel); the default expression form is what the
+    DuckDB oracles reproduce bit-for-bit. The argmax CELL result agrees
+    between the two unless two centroids tie to ~1e-15.
     """
+    cos_fn = _cosine_kernel() if assign_kernel else cosine
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cos", cosine(F.col(vec_col), F.col(cent_vec))
+        "_cos", cos_fn(F.col(vec_col), F.col(cent_vec))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(cent_id))
     return (
@@ -134,6 +142,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 2,
     centroids: DataFrame | None = None,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: partition the corpus into centroid cells,
     probe only the n_probe cells nearest each query.
@@ -156,7 +165,9 @@ def ivf_topk(
             F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cv")
         )
     )
-    assigned = ivf_assign(corpus, cents, "neighbor_id", "vc")
+    assigned = ivf_assign(
+        corpus, cents, "neighbor_id", "vc", assign_kernel=assign_kernel
+    )
 
     qs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("vq")

@@ -280,6 +280,39 @@ def dedup_embedding_bucketed(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_embedding_bucketed_kernel",
+    # same oracle as dedup_embedding_bucketed: the Arrow verify kernel
+    # agrees with the JVM fold well past the rounded 6dp
+    # (tests/test_dedup.py), so a green row attests the scale setting
+    # (verify_kernel=True) end-to-end against the same DuckDB mirror
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id,
+             {_NDP_BUCKETS}
+      FROM e
+    ), cand AS (
+{_NDP_UNION}
+    ), ver AS (
+      SELECT id_a, id_b, {_SIM_COS} AS c
+      FROM cand JOIN e q ON q.vec_id = cand.id_a JOIN e c ON c.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM ver WHERE c >= 0.45
+    """,
+    doc="dedup: LSH-bucketed near-dup pairs with the Arrow cosine verify "
+    "kernel (the 100 TB setting) — same oracle as dedup_embedding_bucketed",
+)
+def dedup_embedding_bucketed_kernel(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", 0.45, _NDP_PLANES, _NDP_TABLES, 64,
+        verify_kernel=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (MOSS): min k-gram hash per sliding window →
 # stop-fingerprint cap → self-join on fingerprint → shared-count gate.

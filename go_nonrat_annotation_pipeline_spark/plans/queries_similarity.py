@@ -153,3 +153,31 @@ def sim_ivf_trained(spark, sf_dir):
     return S.ivf_topk(
         emb, queries, "vec_id", "embedding", k=5, n_probe=2, centroids=cents
     )
+
+
+@register(
+    "sim_ivf_trained_kernel",
+    _KM_ORACLE,
+    doc="similarity: IVF ANN over k-means cells trained with the Arrow "
+    "assignment kernel — SAME oracle as sim_ivf_trained (argmax "
+    "assignment agrees between kernel and expression), so a green row "
+    "attests the scale path end-to-end against the unrolled-Lloyd's SQL",
+)
+def sim_ivf_trained_kernel(spark, sf_dir):
+    from ..operators.kmeans import kmeans_fit
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_fit(
+        emb, k=_KM_K, max_iter=_KM_ITERS, early_stop=False, assign_kernel=True
+    ).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=5,
+        n_probe=2,
+        centroids=cents,
+        assign_kernel=True,
+    )

@@ -58,3 +58,27 @@ def test_kmeans_deterministic_and_improves_inertia(spark):
     trained = kmeans_inertia(emb, c1)
     seeded = kmeans_inertia(emb, seed)
     assert trained <= seeded + 1e-9
+
+
+def test_assign_kernel_agrees_with_expression(spark):
+    """The Arrow cosine kernel (assign_kernel=True, the scale setting)
+    must fit the SAME centroids as the oracle-exact expression form:
+    assignment is an argmax over cosines, so ULP-level kernel-vs-fold
+    differences only matter on ~1e-15 cell ties (none in this corpus)."""
+    emb = load_table(spark, SF, "embeddings")
+    expr = kmeans_fit(emb, k=8, max_iter=4, early_stop=False)
+    kern = kmeans_fit(emb, k=8, max_iter=4, early_stop=False, assign_kernel=True)
+    a = sorted((r.cent_id, tuple(round(x, 12) for x in r.cv)) for r in expr.collect())
+    b = sorted((r.cent_id, tuple(round(x, 12) for x in r.cv)) for r in kern.collect())
+    assert a == b
+
+    # and the IVF cell assignment agrees pointwise
+    from go_nonrat_annotation_pipeline_spark.operators.similarity import ivf_assign
+
+    v = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    c_expr = {r.vec_id: r.cell for r in ivf_assign(v, expr, "vec_id", "v").collect()}
+    c_kern = {
+        r.vec_id: r.cell
+        for r in ivf_assign(v, expr, "vec_id", "v", assign_kernel=True).collect()
+    }
+    assert c_expr == c_kern

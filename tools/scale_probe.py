@@ -190,13 +190,121 @@ def main():
 
     # k-means trainer: per-iteration cost = broadcast-assign (map-side)
     # + per-dimension partial-sum shuffle; rows/s should track corpus
-    # size linearly since k and dim are fixed.
+    # size linearly since k and dim are fixed. The kernel row scores the
+    # same N×k assignment with the Arrow numpy cosine (assign_kernel) —
+    # the scale setting for the trainer's hot loop.
     from go_nonrat_annotation_pipeline_spark.operators.kmeans import kmeans_fit
 
     timed(
         "kmeans_fit(k=16, 3 iters)",
-        lambda: kmeans_fit(emb, k=16, max_iter=3).count(),
+        lambda: kmeans_fit(emb, k=16, max_iter=3, early_stop=False).count(),
         n_emb,
+    )
+    timed(
+        "kmeans_fit(arrow kernel)",
+        lambda: kmeans_fit(
+            emb, k=16, max_iter=3, early_stop=False, assign_kernel=True
+        ).count(),
+        n_emb,
+    )
+
+    # ---- round-2 operator families -----------------------------------
+    from go_nonrat_annotation_pipeline_spark.operators.asof import (
+        asof_join_backward,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.sampling import (
+        quota_sample,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.skew import (
+        salted_collect_set,
+    )
+    from pyspark.sql import Window as W
+
+    events = inflate(load_table(spark, SF_DIR, "events"), "event_id", mult)
+    n_ev = events.count()
+
+    # as-of join: |L|+|R| rows through ONE window shuffle on the key —
+    # no pair blowup, so rows/s should hold as both sides scale together
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    timed(
+        "asof_join(purchase<-click)",
+        lambda: asof_join_backward(
+            purchases, clicks, "user_id", "ts", "ts", ["value"]
+        ).count(),
+        n_ev,
+    )
+
+    # salted collect_set on a pathologically hot key: 50% of rows share
+    # one key — phase 1 spreads it over n_salt tasks, so wall-clock
+    # tracks row volume, not the hot key's share
+    n_sk = 200_000 * mult
+    skewed = (
+        spark.range(n_sk)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), 1000))
+            .alias("k"),
+            F.concat(F.lit("t"), F.pmod(F.col("id") * 2654435761, 50_000)).alias(
+                "tok"
+            ),
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    timed(
+        "salted_collect_set(hot key)",
+        lambda: salted_collect_set(skewed, ["k"], F.col("tok")).count(),
+        n_sk,
+    )
+
+    # sequence packing: one running-sum window pass per source + one agg
+    timed(
+        "sequence_packing(4096)",
+        lambda: docs.select(
+            "source",
+            "n_chars",
+            F.floor(
+                (
+                    F.sum("n_chars").over(
+                        W.partitionBy("source")
+                        .orderBy("doc_id")
+                        .rowsBetween(W.unboundedPreceding, 0)
+                    )
+                    - F.col("n_chars")
+                )
+                / F.lit(4096.0)
+            )
+            .cast("long")
+            .alias("window_id"),
+        )
+        .groupBy("source", "window_id")
+        .count()
+        .count(),
+        n_docs,
+    )
+
+    # quota sampling: one shuffle on the strata key, streaming rank scan
+    timed(
+        "quota_sample(100/stratum)",
+        lambda: quota_sample(docs, ["lang", "source"], "doc_id", 100).count(),
+        n_docs,
+    )
+
+    # native session_window (batch form): one shuffle on user_id, then
+    # in-partition window merging — state is per-user, not per-event
+    timed(
+        "session_window(30 min)",
+        lambda: events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count(),
+        n_ev,
     )
 
 
