@@ -4,8 +4,10 @@ centroids; at 100 TB trained cells cut probe volume several-fold for
 the same recall).
 
 Spark-first shape per iteration:
-- assignment is a map-side argmax against BROADCAST centroids (the
-  corpus never shuffles);
+- assignment is a map-side argmax with the k centroids collected
+  driver-side and folded into the column (operators/similarity.
+  argmax_cell) — the corpus never shuffles and there is NO window
+  exchange;
 - the update is ONE hash-aggregate shuffle keyed on the cell id:
   per-dimension sums via `F.aggregate`/`zip_with` element-wise array
   addition (JVM higher-order functions, no Python), count per cell,
@@ -19,10 +21,11 @@ Lloyd's degeneracy handling, deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _cosine_kernel, cosine
+from .dedup import cosine
+from .similarity import argmax_cell
 
 
 def _as_double(vec):
@@ -50,14 +53,14 @@ def kmeans_fit(
     tolerates ~1e-9 centroid movement, so with it enabled the two engines
     could legitimately perform different update counts near convergence.
 
-    ``assign_kernel=True`` scores the N×k assignment crossJoin with the
-    Arrow numpy cosine kernel (one einsum per batch) instead of the
-    interpreted higher-order-function expression — the scale setting for
-    the trainer's hot loop (same switch as the LSH verify stage's
-    verify_kernel). Assignment is an argmax over cosines, so the fitted
-    centroids are bit-identical unless two cells tie to ~1e-15
-    (tests/test_kmeans.py asserts kernel-vs-expression agreement);
-    oracle-exact registry paths keep the default expression form.
+    ``assign_kernel=True`` swaps the per-row k interpreted cosine folds
+    for ONE Arrow numpy matmul per batch (argmax_cell's kernel form) —
+    the scale setting for the trainer's hot loop (same switch as the LSH
+    verify stage's verify_kernel). Assignment is an argmax over cosines,
+    so the fitted centroids are bit-identical unless two cells tie at
+    float precision (tests/test_kmeans.py asserts kernel-vs-expression
+    agreement); oracle-exact registry paths keep the default expression
+    form.
     """
     vecs = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
@@ -85,18 +88,22 @@ def kmeans_fit(
         / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, y: a + y * y)),
     )
 
-    cos_fn = _cosine_kernel() if assign_kernel else cosine
-
     for _ in range(max_iter):
-        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "_cos", cos_fn(F.col("v"), F.col("cv"))
-        )
-        ww = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cent_id"))
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(ww))
-            .where(F.col("_rn") == 1)
-            .select("_id", "v", "cent_id")
-        )
+        # assignment is a PURE MAP-SIDE argmax: the k centroids (tiny)
+        # are collected and folded into the column via argmax_cell — no
+        # crossJoin, no window exchange. The previous crossJoin +
+        # row_number form shuffled all N×k scored rows per iteration.
+        # The narrow result is persisted so the two update branches
+        # (per-dimension sums + cell counts) share ONE evaluation — the
+        # old window form got that sharing implicitly via ReusedExchange.
+        cent_rows = [(r.cent_id, list(r.cv)) for r in cents.collect()]
+        assigned = vecs.select(
+            "_id",
+            "v",
+            argmax_cell(F.col("v"), cent_rows, assign_kernel)
+            .cast("int")
+            .alias("cent_id"),
+        ).persist()
         # update via per-DIMENSION partial sums: posexplode to
         # (cell, dim, x) and sum with map-side combine — never gathers a
         # cell's vectors on one task (a collect_list per cell would:
@@ -123,6 +130,7 @@ def kmeans_fit(
         # empty cells: keep the previous centroid
         kept = cents.join(new_cents.select("cent_id"), "cent_id", "left_anti")
         cents2 = new_cents.unionByName(kept).localCheckpoint()
+        assigned.unpersist()
         if early_stop:
             moved = (
                 cents.select("cent_id", F.col("cv").alias("old"))

@@ -100,6 +100,61 @@ def brute_force_topk(
     )
 
 
+def argmax_cell(
+    vec_col: Column,
+    cent_rows: list[tuple[int, list[float]]],
+    assign_kernel: bool = False,
+) -> Column:
+    """Nearest-centroid id by cosine as a PURE MAP-SIDE column — the
+    k centroids are collected driver-side (k × dim floats, tiny by
+    contract) and folded into the expression, so assignment shuffles
+    NOTHING. This replaces the crossJoin + Window.partitionBy(id) form,
+    whose window exchange moved all N×k scored rows per call — the
+    actual bottleneck the 20× scale probe measured in the trainer loop.
+
+    Tie-break matches the previous row_number ordering: higher cosine
+    first, then lower centroid id (struct max on (cos, -cent_id)).
+
+    assign_kernel=True swaps the k interpreted higher-order-function
+    cosines per row for ONE Arrow numpy matmul per batch against the
+    unit-normalized centroid matrix — same argmax unless two cells tie
+    at float precision (tests/test_kmeans.py asserts agreement). The
+    expression form suits k ≲ 64 (the Column tree grows ~70 nodes per
+    centroid); use the kernel beyond that.
+    """
+    if assign_kernel:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        rows = sorted(cent_rows)  # cent_id asc → first-max = lowest id
+        ids = np.asarray([int(c) for c, _ in rows], dtype=np.int64)
+        C = np.asarray([np.asarray(v, dtype=np.float64) for _, v in rows])
+        Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, k)
+
+        @pandas_udf("long")
+        def cell(v: pd.Series) -> pd.Series:
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+            if len(m) == 0:
+                return pd.Series([], dtype="int64")
+            # |v| is constant across one row's candidates, so argmax of
+            # v·(c/|c|) equals argmax of cosine
+            return pd.Series(ids[np.argmax(m @ Cn, axis=1)])
+
+        return cell(vec_col)
+
+    pairs = [
+        F.struct(
+            # one py4j call per centroid: F.lit on a Python list builds
+            # the whole array literal JVM-side (vs 64 lit calls per
+            # centroid, which costs ~1s of driver time per trainer
+            # iteration at k=16)
+            cosine(vec_col, F.lit([float(x) for x in cv])).alias("c"),
+            F.lit(-int(cid)).alias("n"),
+        )
+        for cid, cv in cent_rows
+    ]
+    return (-F.array_max(F.array(*pairs))["n"]).cast("long")
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -111,25 +166,24 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (IVF cells).
 
-    centroids is dimension-sized and broadcast; the corpus never
-    shuffles — assignment is a map-side argmax over the broadcast list.
-    Deterministic tie-break: higher cosine first, then lower centroid id.
+    The centroid table is dimension-sized by contract, so it is collected
+    driver-side and folded into a map-side argmax column (argmax_cell) —
+    the corpus never shuffles and no window exchange exists. Deterministic
+    tie-break: higher cosine first, then lower centroid id.
 
-    assign_kernel=True scores the N×k crossJoin with the Arrow numpy
-    cosine kernel (scale setting — same switch as verify_kernel /
-    kmeans_fit's assign_kernel); the default expression form is what the
-    DuckDB oracles reproduce bit-for-bit. The argmax CELL result agrees
-    between the two unless two centroids tie to ~1e-15.
+    assign_kernel=True uses the Arrow matmul kernel per batch (scale
+    setting — same switch as verify_kernel / kmeans_fit's assign_kernel);
+    the default expression form is what the DuckDB oracles reproduce
+    bit-for-bit.
     """
-    cos_fn = _cosine_kernel() if assign_kernel else cosine
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cos", cos_fn(F.col(vec_col), F.col(cent_vec))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(cent_id))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col(cent_id).alias("cell"))
+    cent_rows = [
+        (r[0], list(r[1]))
+        for r in centroids.select(cent_id, cent_vec).collect()
+    ]
+    return df.select(
+        id_col,
+        vec_col,
+        argmax_cell(F.col(vec_col), cent_rows, assign_kernel).alias("cell"),
     )
 
 
