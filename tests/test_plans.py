@@ -167,3 +167,19 @@ def test_scalar_subquery_broadcasts_one_row(spark, registry):
     p = plan(registry["q_scalar_subquery"].spark(spark, SF))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_ivf_assignment_is_map_side(spark, registry):
+    """Corpus→cell assignment folds the collected centroids into a
+    map-side argmax column (operators/similarity.argmax_cell): the plan
+    must contain NO window over the corpus (the old crossJoin +
+    row_number form shuffled all N×k scored rows). The remaining two
+    windows are probe selection and final ranking — query-side and
+    candidate-bounded respectively. (The one BroadcastNestedLoopJoin is
+    the tiny queries × centroids probe cross join.)"""
+    import re
+
+    p = plan(registry["sim_ivf_ann"].spark(spark, SF))
+    # details section prints one "(n) Window" line per node; bare
+    # .count("Window") would also match WindowGroupLimit
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 2, p
