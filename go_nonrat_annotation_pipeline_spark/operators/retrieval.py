@@ -1,0 +1,214 @@
+"""Retrieval-grade text scoring and matching (north-star extensions):
+TF-IDF / BM25 term scoring over the corpus, and a q-gram-bounded fuzzy
+(edit-distance) join.
+
+All JVM-side DataFrame ops with exact DuckDB-reproducible arithmetic —
+log/division order is pinned so the oracles hash-match.
+
+100 TB shape:
+- TF-IDF/BM25: one explode + two hash aggregates (term stats, doc
+  stats); document frequencies are corpus-wide aggregates joined back
+  broadcast (the term dictionary is ≪ corpus).
+- Fuzzy join: never all-pairs — candidates must share a q-gram hash
+  bucket (equi-join on the posexploded gram key, identical shape to the
+  LSH band join), then exact levenshtein verifies only collisions, with
+  a hot-gram cap bounding any bucket's fan-out (same stop-key trick as
+  winnowing's max_doc_freq).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def term_doc_freq(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, df) document frequencies over whitespace terms."""
+    terms = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("term"),
+    )
+    return terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed scikit-style form — strictly positive, no div-by-zero).
+    Deterministic ranking: score desc, then term asc. Plan: one explode
+    + per-doc term counts (one shuffle on (_id, term)), corpus df agg
+    (one shuffle on term, output = dictionary-sized), broadcast join
+    back, one ranking window per doc.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # scalar action: corpus size is one number
+    terms = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = terms.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = term_doc_freq(docs, id_col, text_col)
+    idf = df_.select(
+        "term",
+        (
+            F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+        ).alias("idf"),
+        "df",
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "tfidf", "rank"
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by BM25.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard
+    Robertson-Sparck Jones form, always positive); per-doc length
+    normalization uses exact whitespace token counts and the corpus
+    mean length computed as a DECIMAL-exact average cast to double.
+    Deterministic ranking: score desc, then doc id asc.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    # mean doc length: exact integer sum / exact count, divided once
+    tot = base.agg(F.sum("dl").alias("s")).collect()[0][0]
+    avgdl = float(tot) / float(n_docs)
+
+    qset = [t for t in query_terms]
+    terms = base.select(
+        "_id", "dl", F.explode("ws").alias("term")
+    ).where(F.col("term").isin(*qset))
+    tf = terms.groupBy("_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "term",
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = tf.join(F.broadcast(idf), "term").select(
+        "_id",
+        (
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * (F.col("dl") / F.lit(avgdl)))
+            )
+        ).alias("c"),
+    )
+    scored = contrib.groupBy("_id").agg(
+        F.round(F.sum("c"), 6).alias("bm25")
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "bm25", "rank")
+    )
+
+
+def qgram_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_expr,
+    max_dist: int = 2,
+    q: int = 3,
+    max_gram_freq: int = 256,
+) -> DataFrame:
+    """Pairs of rows whose key strings are within levenshtein(max_dist),
+    without an all-pairs join.
+
+    Candidate generation: positional q-gram equi-join — two strings at
+    edit distance ≤ d share at least one q-gram when their length
+    exceeds q·(d+1)−1 (the classic q-gram filter), so a join on the
+    exploded gram key covers all true pairs for non-degenerate keys;
+    grams occurring in more than max_gram_freq keys are dropped on both
+    sides (stop-gram cap — bounds any bucket's fan-out; exact recall is
+    kept for every pair sharing at least one sub-cap gram, mirroring
+    winnowing's max_doc_freq contract). Exact levenshtein verifies only
+    colliding pairs.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"), key_expr.alias("_key")
+    ).where(F.length("_key") >= q)
+    grams = keyed.select(
+        "_id",
+        "_key",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length("_key") - F.lit(q - 1)
+                    ),
+                    lambda i: F.col("_key").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("_id").alias("n"))
+        .where(F.col("n") > max_gram_freq)
+        .select("gram")
+    )
+    cold = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = cold.select(
+        F.col("_id").alias("id_a"), F.col("_key").alias("key_a"), "gram"
+    )
+    b = cold.select(
+        F.col("_id").alias("id_b"), F.col("_key").alias("key_b"), "gram"
+    )
+    cand = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "key_a", "id_b", "key_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("key_a"), F.col("key_b"))
+        )
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

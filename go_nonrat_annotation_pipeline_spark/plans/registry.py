@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Q]:
         queries_analytics,
         queries_sampling,
         queries_similarity_ann,
+        queries_retrieval,
         queries_relational,
         queries_consolidate,
         queries_closure,
