@@ -95,3 +95,89 @@ def chunk_text(
         .substr(F.col("chunk_start") + 1, F.lit(chunk_size))
         .alias("chunk"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    threshold_hex: str = "cc",
+) -> DataFrame:
+    """Leakage-safe train/test split: the gate hashes the near-dup
+    CLUSTER id, not the document id, so every member of a cluster lands
+    in the same split — near-duplicates of a test document can never
+    leak into train. Documents absent from `clusters` (singletons) use
+    their own id as cluster id.
+
+    clusters: (doc_id, cluster_id) from connected_components_star over
+    the near-dup pair graph. Map-side after one left join; the join key
+    is the doc id, so with both sides hash-partitioned on it (or the
+    cluster table broadcast — it is pair-graph-sized, ≪ corpus) no extra
+    shuffle is introduced at scale.
+    """
+    c = clusters.select(
+        F.col(id_col).alias("_cid_doc"), F.col("cluster_id").alias("_cl")
+    )
+    joined = docs.join(
+        c, docs[id_col] == F.col("_cid_doc"), "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("_cl"), F.col(id_col).cast("long"))
+    )
+    return joined.withColumn(
+        "split",
+        F.when(
+            hash_bucket_hex(F.col("cluster_id")) <= threshold_hex,
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    ).drop("_cid_doc", "_cl")
+
+
+def text_shingles(
+    text: Column, n: int = 13, sep: str = " "
+) -> Column:
+    """Distinct n-word shingle hashes as md5 of the joined gram TEXT —
+    overflow-free at any n (unlike the positional word-hash combination
+    in functions/hashing.shingle_hashes, whose 31^(n-1) multiplier
+    overflows int64 beyond n≈8). Empty array for docs shorter than n
+    words."""
+    from ..functions.hashing import char_hash
+
+    ws = F.split(text, sep)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: char_hash(F.array_join(F.slice(ws, i, n), sep))
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.expr("cast(array() as array<bigint>)")
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark-decontamination scan: (train_id, test_id, shared) for
+    every train/test pair sharing at least one exact n-word shingle —
+    the standard n-gram overlap check run before training on any corpus
+    that might contain evaluation data.
+
+    Scale shape: explode each side to (id, gram) — distinct grams only —
+    and equi-join on the gram hash; long n makes grams near-unique, so
+    the join output is contamination-sized, not corpus-sized. One
+    aggregate on the colliding pairs."""
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(text_shingles(F.col(text_col), n)).alias("g"),
+    )
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(text_shingles(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        tr.join(te, "g")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Q]:
         queries_sampling,
         queries_similarity_ann,
         queries_retrieval,
+        queries_curation,
         queries_relational,
         queries_consolidate,
         queries_closure,
