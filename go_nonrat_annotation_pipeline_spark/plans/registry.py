@@ -41,12 +41,13 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry; INSERTION ORDER MATTERS:
     # the driver's per-round correctness snapshot covers the FIRST 50
-    # entries in registry order (r1/r2 windows confirm), so families
-    # whose rows have never had a driver attestation lead (pipeline E2E,
-    # sim_ivf_trained with its new full oracle, dedup, text, streaming,
-    # multimodal, analytics, sampling), and everything already
-    # driver-green in rounds 1-2 (the four baseline ANN queries,
-    # relational, consolidate, closure, upsert, window) follows.
+    # entries in registry order (r1/r2 windows confirm), so queries that
+    # have never had a driver attestation lead (pipeline E2E,
+    # sim_ivf_trained + kernel twin, the changed/new dedup rows, text,
+    # streaming, multimodal, analytics, sampling, retrieval, curation),
+    # and everything already driver-green in rounds 1-2 (r1's five dedup
+    # rows, the four baseline ANN queries, relational, consolidate,
+    # closure, upsert, window) follows.
     from . import (  # noqa: F401
         queries_pipeline,
         queries_similarity,
@@ -56,9 +57,10 @@ def all_queries() -> dict[str, Q]:
         queries_multimodal,
         queries_analytics,
         queries_sampling,
-        queries_similarity_ann,
         queries_retrieval,
         queries_curation,
+        queries_similarity_ann,
+        queries_dedup_attested,
         queries_relational,
         queries_consolidate,
         queries_closure,
