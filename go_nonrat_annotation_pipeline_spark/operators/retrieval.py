@@ -140,10 +140,14 @@ def bm25_scores(
     scored = contrib.groupBy("_id").agg(
         F.round(F.sum("c"), 6).alias("bm25")
     )
+    # global top-k via orderBy().limit() — TakeOrderedAndProject keeps
+    # per-partition heaps (a bare row_number window with no partition
+    # would funnel every scored doc through ONE task); the rank window
+    # then runs over exactly k rows
+    topk = scored.orderBy(F.desc("bm25"), F.asc("_id")).limit(k)
     w = Window.orderBy(F.desc("bm25"), F.asc("_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(F.col("_id").alias(id_col), "bm25", "rank")
     )
 

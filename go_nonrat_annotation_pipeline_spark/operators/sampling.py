@@ -118,8 +118,10 @@ def cluster_safe_split(
     c = clusters.select(
         F.col(id_col).alias("_cid_doc"), F.col("cluster_id").alias("_cl")
     )
+    # the cluster table is pair-graph-sized (only docs that appear in a
+    # near-dup pair) — broadcast it so the corpus side never shuffles
     joined = docs.join(
-        c, docs[id_col] == F.col("_cid_doc"), "left"
+        F.broadcast(c), docs[id_col] == F.col("_cid_doc"), "left"
     ).withColumn(
         "cluster_id", F.coalesce(F.col("_cl"), F.col(id_col).cast("long"))
     )
