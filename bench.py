@@ -158,6 +158,13 @@ def main():
                 "sf": sf,
                 "plan_fingerprints": plans,
                 "fingerprint_diff": fingerprint_diff,
+                "notes": {
+                    "sim_ivf_ann": "r3: assignment became map-side argmax "
+                    "(x3->x2, no N*k shuffle); at this toy SF (500 vecs) the "
+                    "per-call centroid collect+expression build adds ~1s of "
+                    "constant overhead, while at 20x/40x probe scale the new "
+                    "plan is faster (SCALE.md: 5.3s->4.4s @20x)",
+                },
             }
         )
     )

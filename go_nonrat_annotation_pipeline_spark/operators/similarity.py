@@ -141,18 +141,58 @@ def argmax_cell(
 
         return cell(vec_col)
 
-    pairs = [
-        F.struct(
-            # one py4j call per centroid: F.lit on a Python list builds
-            # the whole array literal JVM-side (vs 64 lit calls per
-            # centroid, which costs ~1s of driver time per trainer
-            # iteration at k=16)
-            cosine(vec_col, F.lit([float(x) for x in cv])).alias("c"),
-            F.lit(-int(cid)).alias("n"),
-        )
-        for cid, cv in cent_rows
-    ]
-    return (-F.array_max(F.array(*pairs))["n"]).cast("long")
+    # Expression form, built with O(1) higher-order lambdas TOTAL (not
+    # per centroid): the centroids go in as ONE nested array literal and
+    # a transform over their indices scores each. Per-centroid cosine()
+    # calls would construct ~4 py4j lambda trees each (~1.2s of driver
+    # time at k=16 per invocation). Centroid norms are precomputed
+    # driver-side with the same left-to-right IEEE summation as the
+    # F.aggregate fold, so the arithmetic — dot / (|v| * |c|) — stays
+    # bit-identical to operators/dedup.cosine and the DuckDB oracles.
+    import math
+
+    ids = [int(cid) for cid, _ in cent_rows]
+    mats = [[float(x) for x in cv] for _, cv in cent_rows]
+
+    def _seq_sumsq(xs: list[float]) -> float:
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return acc
+
+    # literals rendered as ONE SQL string each — F.lit on a (nested)
+    # list recurses into one py4j call per element (~1000 for k=16 ×
+    # dim=64, ≈0.7s of driver time per invocation); repr() round-trips
+    # doubles exactly, so the parsed literal is bit-identical
+    def _arr_sql(xs) -> str:
+        return "array(" + ",".join(f"{x!r}D" for x in xs) + ")"
+
+    C = F.expr(
+        "array(" + ",".join(_arr_sql(cv) for cv in mats) + ")"
+    )
+    cnorms = F.expr(_arr_sql(math.sqrt(_seq_sumsq(cv)) for cv in mats))
+    negids = F.expr(_arr_sql(float(-i) for i in ids))
+
+    vnorm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(ids))),
+        lambda i: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec_col, F.element_at(C, i), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (vnorm * F.element_at(cnorms, i))
+            ).alias("c"),
+            F.element_at(negids, i).alias("n"),
+        ),
+    )
+    return (-F.array_max(scored)["n"]).cast("long")
 
 
 def ivf_assign(
