@@ -13,7 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
-from ..operators.skew import salted_collect_set, salted_join
+from ..operators.skew import salted_collect_set
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -149,44 +149,10 @@ def q_cube_status_priority(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Skew-safe equi-join: the fact key has only 10 distinct values (every
-# one hot); salting scatters each over 16 sub-keys while the replicated
-# 10×16-row dim stays tiny (operators/skew.py:salted_join). Oracle is
-# the PLAIN join — salting must be semantically invisible.
+# q_salted_skew_join moved to queries_r4_fixes.py (round 4): the money
+# sum is now integer cents (BIGINT) so no double→decimal rounding sits
+# at the driver's hash boundary.
 # ---------------------------------------------------------------------------
-@register(
-    "q_salted_skew_join",
-    """
-    SELECT d_label, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
-    FROM (SELECT l_suppkey % 10 AS bucket, l_quantity FROM lineitem) f
-    JOIN (SELECT DISTINCT l_suppkey % 10 AS bucket,
-                 'B' || CAST(l_suppkey % 10 AS VARCHAR) AS d_label
-          FROM lineitem) d USING (bucket)
-    GROUP BY d_label
-    """,
-    doc="skew-safe salted equi-join on a 10-value hot key, plain-join oracle",
-)
-def q_salted_skew_join(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    fact = li.select(
-        (F.col("l_suppkey") % 10).alias("bucket"), "l_quantity"
-    )
-    dim = (
-        li.select((F.col("l_suppkey") % 10).alias("bucket"))
-        .distinct()
-        .select(
-            "bucket",
-            F.concat(F.lit("B"), F.col("bucket").cast("string")).alias("d_label"),
-        )
-    )
-    joined = salted_join(fact, dim, "bucket", n_salt=16)
-    return joined.groupBy("d_label").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("sum_qty"),
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,8 +1,9 @@
 """Corpus-curation queries: leakage-safe splitting and benchmark
 decontamination — the two guards every training-data pipeline runs
-between dedup and dataset export. Registered after the driver's 50-entry
-correctness window this round (see plans/registry.py); local-oracle
-checked now, window rotation next round.
+between dedup and dataset export. Both rows were driver-attested green
+in round 3 (window slots 48-49); since round 4 they sit after the
+50-entry correctness window on unchanged content (see plans/registry.py
+for the ordering contract and rotation plan).
 """
 
 from __future__ import annotations

@@ -69,17 +69,6 @@ def mm_resize(spark, sf_dir):
     return MM.resize_images(MM.to_binary_docs(docs), 224)
 
 
-@register(
-    "mm_feature_extract",
-    f"""
-    SELECT doc_id,
-           LIST_TRANSFORM(GENERATE_SERIES(1, {MM.N_FEATURES}),
-             i -> CAST(CAST((OCTET_LENGTH(ENCODE(text)) * i) % 97 AS DOUBLE) / 97.0
-                  AS FLOAT)) AS features
-    FROM documents
-    """,
-    doc="multimodal: binary → embedding stub (batch encoder plumbing)",
-)
-def mm_feature_extract(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return MM.extract_features(MM.to_binary_docs(docs))
+# mm_feature_extract moved to queries_r4_fixes.py (round 4): the raw
+# array<float> final projection crashed the driver's canonicalizer; the
+# repaired form serializes the vector identically in both engines.

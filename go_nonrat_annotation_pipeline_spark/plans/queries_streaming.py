@@ -15,31 +15,13 @@ from ..streaming.stream import (
     read_events_stream,
     run_to_memory,
     stateful_sessions,
-    tumbling_counts,
 )
 from .registry import register
 
 
-@register(
-    "stream_tumbling_agg",
-    """
-    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    doc="streaming: tumbling 1h window counts/sums (memory-sink drain)",
-)
-def stream_tumbling_agg(spark, sf_dir):
-    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    agg = tumbling_counts(events, "1 hour")
-    out = run_to_memory(agg, "complete")
-    return out.select(
-        F.col("window.start").alias("window_start"),
-        "event_type",
-        "n",
-        "total_value",
-    )
+# stream_tumbling_agg moved to queries_r4_fixes.py (round 4): window
+# start is now emitted as epoch-seconds BIGINT on both engines so the
+# driver's timestamp hashing can't diverge.
 
 
 @register(

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import text as TX
-from ..operators import dedup as D
 from ..operators.util import ensure_parallelism
 from ..sources.testdata import load_table
 from .registry import register
@@ -111,63 +110,10 @@ def text_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Composite training-data cleaning pipeline: quality gate → exact dedup
-# (40-char-prefix content key) → per-source corpus stats. The LLM-data
-# shape end-to-end: every stage is JVM-side, the only shuffles are the
-# dedup hash-partition and the final per-source aggregate.
+# corpus_clean_pipeline moved to queries_r4_fixes.py (round 4): the
+# average is now an exact integer micro-token value instead of a
+# ROUND(AVG(...)) raw double at the driver hash boundary.
 # ---------------------------------------------------------------------------
-@register(
-    "corpus_clean_pipeline",
-    f"""
-    WITH feats AS (
-      SELECT doc_id, text, source,
-             LEN({_WORDS}) AS n_tokens,
-             LEN(REGEXP_EXTRACT_ALL(text, '{TX.BPE_REGEX}')) AS n_bpe_tokens,
-             LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\\s]'))
-               / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio
-      FROM documents
-    ), kept AS (
-      SELECT * FROM feats WHERE n_tokens >= 40 AND punct_ratio <= 0.05
-    ), canon AS (
-      SELECT MD5(SUBSTR(text, 1, 40)) AS k, MIN(doc_id) AS canonical_id
-      FROM kept GROUP BY 1
-    ), deduped AS (
-      SELECT kept.* FROM kept
-      JOIN canon ON MD5(SUBSTR(kept.text, 1, 40)) = canon.k
-                AND kept.doc_id = canon.canonical_id
-    )
-    SELECT source,
-           COUNT(*) AS n_docs,
-           SUM(n_bpe_tokens) AS total_bpe_tokens,
-           ROUND(AVG(n_tokens), 6) AS avg_tokens
-    FROM deduped GROUP BY source
-    """,
-    doc="composite: quality gate -> prefix-key exact dedup -> corpus stats",
-)
-def corpus_clean_pipeline(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    feats = docs.select(
-        "doc_id",
-        "text",
-        "source",
-        TX.whitespace_token_count(F.col("text")).alias("n_tokens"),
-        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        (
-            F.size(
-                F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
-            )
-            / F.length("text").cast("double")
-        ).alias("punct_ratio"),
-    )
-    kept = feats.where((F.col("n_tokens") >= 40) & (F.col("punct_ratio") <= 0.05))
-    deduped = D.exact_dedup(kept, F.substring("text", 1, 40), "doc_id").where(
-        ~F.col("is_dup")
-    )
-    return deduped.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-    )
 
 
 # ---------------------------------------------------------------------------
