@@ -6,9 +6,11 @@ All JVM-side DataFrame ops with exact DuckDB-reproducible arithmetic —
 log/division order is pinned so the oracles hash-match.
 
 100 TB shape:
-- TF-IDF/BM25: one explode + two hash aggregates (term stats, doc
-  stats); document frequencies are corpus-wide aggregates joined back
-  broadcast (the term dictionary is ≪ corpus).
+- TF-IDF: one explode + two hash aggregates (term stats, doc stats);
+  the document-frequency table joins back WITHOUT a broadcast hint —
+  the distinct-term dictionary is unbounded (billions of terms at
+  corpus scale), so AQE picks broadcast only when the measured size
+  allows it. BM25's idf table is query-terms-only and stays broadcast.
 - Fuzzy join: never all-pairs — candidates must share a q-gram hash
   bucket (equi-join on the posexploded gram key, identical shape to the
   LSH band join), then exact levenshtein verifies only collisions, with
@@ -45,8 +47,10 @@ def tfidf_top_terms(
     smoothed scikit-style form — strictly positive, no div-by-zero).
     Deterministic ranking: score desc, then term asc. Plan: one explode
     + per-doc term counts (one shuffle on (_id, term)), corpus df agg
-    (one shuffle on term, output = dictionary-sized), broadcast join
-    back, one ranking window per doc.
+    (one shuffle on term, output = dictionary-sized), join back with NO
+    broadcast hint (the dictionary is unbounded at corpus scale — AQE
+    broadcasts only if the runtime size fits), one ranking window per
+    doc.
     """
     from pyspark.sql import Window
 
@@ -64,7 +68,7 @@ def tfidf_top_terms(
         ).alias("idf"),
         "df",
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    scored = tf.join(idf, "term").select(
         "_id",
         "term",
         "tf",
@@ -97,17 +101,31 @@ def bm25_scores(
     normalization uses exact whitespace token counts and the corpus
     mean length computed as a DECIMAL-exact average cast to double.
     Deterministic ranking: score desc, then doc id asc.
+
+    Raises ValueError on an empty query; returns an empty (id, bm25,
+    rank) result when the corpus is empty. Corpus size and total length
+    are fetched in ONE scalar agg action (single job).
     """
     from pyspark.sql import Window
 
-    n_docs = docs.count()
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+
     base = docs.select(
         F.col(id_col).alias("_id"),
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.split(F.col(text_col), " ").alias("ws"),
     )
-    # mean doc length: exact integer sum / exact count, divided once
-    tot = base.agg(F.sum("dl").alias("s")).collect()[0][0]
+    # ONE scalar action: corpus size + exact integer length sum together
+    n_docs, tot = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    if n_docs == 0:
+        return base.select(
+            F.col("_id").alias(id_col),
+            F.lit(0.0).alias("bm25"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
     avgdl = float(tot) / float(n_docs)
 
     qset = [t for t in query_terms]
@@ -152,6 +170,102 @@ def bm25_scores(
     )
 
 
+def bm25_scores_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents per query for a SET of bag-of-terms queries.
+
+    The multi-query form a retrieval user actually runs: `queries` is a
+    (query_id, term) DataFrame; the whole workload is scored in one pass
+    over the corpus — same arithmetic as :func:`bm25_scores` (Robertson-
+    Sparck Jones idf, k1/b length normalization, score desc / doc id asc
+    ties).
+
+    Plan (100 TB shape): corpus stats in ONE scalar agg; one explode of
+    the corpus filtered by a BROADCAST semi-join against the distinct
+    query-term set (the query workload is ≪ corpus — broadcast is correct
+    here, exactly like the query side of the ANN operators); per-term df
+    over matched docs only; contributions fan out per query via a second
+    broadcast join on term; one grouped aggregate on (query_id, doc);
+    top-k via a PER-QUERY ranking window (partitioned — no global
+    single-task window).
+    """
+    from pyspark.sql import Window
+
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(term_col).alias("term")
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    n_docs, tot = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    if n_docs == 0:
+        return q.select(
+            F.col("_qid").alias(query_id_col),
+            F.lit(0).cast("long").alias(id_col),
+            F.lit(0.0).alias("bm25"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    avgdl = float(tot) / float(n_docs)
+
+    qterms = q.select("term").distinct()
+    terms = base.select("_id", "dl", F.explode("ws").alias("term")).join(
+        F.broadcast(qterms), "term"
+    )
+    tf = terms.groupBy("_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "term",
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = tf.join(F.broadcast(idf), "term").select(
+        "_id",
+        "term",
+        (
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * (F.col("dl") / F.lit(avgdl)))
+            )
+        ).alias("c"),
+    )
+    per_query = contrib.join(F.broadcast(q), "term").groupBy("_qid", "_id").agg(
+        F.round(F.sum("c"), 6).alias("bm25")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("bm25"), F.asc("_id"))
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            "bm25",
+            "rank",
+        )
+    )
+
+
 def qgram_fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -163,15 +277,22 @@ def qgram_fuzzy_pairs(
     """Pairs of rows whose key strings are within levenshtein(max_dist),
     without an all-pairs join.
 
-    Candidate generation: positional q-gram equi-join — two strings at
-    edit distance ≤ d share at least one q-gram when their length
-    exceeds q·(d+1)−1 (the classic q-gram filter), so a join on the
-    exploded gram key covers all true pairs for non-degenerate keys;
-    grams occurring in more than max_gram_freq keys are dropped on both
-    sides (stop-gram cap — bounds any bucket's fan-out; exact recall is
-    kept for every pair sharing at least one sub-cap gram, mirroring
-    winnowing's max_doc_freq contract). Exact levenshtein verifies only
-    colliding pairs.
+    Candidate generation: q-gram equi-join — a string of length L has
+    L−q+1 q-grams, and d edits destroy at most q·d of them, so two
+    strings at edit distance ≤ d share at least one q-gram whenever
+    min(L) ≥ q·(d+1) (the classic q-gram count filter). Exact recall
+    guarantee, precisely: FULL recall only for pairs where both keys
+    have length ≥ q·(max_dist+1); shorter keys can be at distance ≤ d
+    yet share no q-gram (e.g. two length-5 names at distance 2 with
+    q=3) and such pairs are MISSED. Keys shorter than q have no q-gram
+    at all and are EXCLUDED from the output entirely (the LENGTH >= q
+    filter below). Route short keys through a dedicated exact/broadcast
+    side-join if they matter in your data. Additionally, grams occurring
+    in more than max_gram_freq keys are dropped on both sides (stop-gram
+    cap — bounds any bucket's fan-out; recall is kept for every pair
+    sharing at least one sub-cap gram, mirroring winnowing's
+    max_doc_freq contract). Exact levenshtein verifies only colliding
+    pairs.
     """
     keyed = df.select(
         F.col(id_col).alias("_id"), key_expr.alias("_key")

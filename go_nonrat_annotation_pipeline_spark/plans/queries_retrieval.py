@@ -1,7 +1,9 @@
-"""Retrieval queries (TF-IDF / BM25 / q-gram fuzzy join) — registered
-AFTER the driver's 50-entry correctness window this round (every slot is
-taken by a never-attested query); they pass the local oracle harness now
-and rotate into the window next round. See plans/registry.py.
+"""Retrieval queries (TF-IDF / BM25 single- and multi-query / q-gram
+fuzzy join) — registered INSIDE the driver's 50-entry correctness window
+(round 4 slots 5-8; see plans/registry.py): the underlying operator
+module changed this round (tfidf broadcast-hint removal, BM25 scalar
+fold + guards, new multi-query BM25), so every row here re-enters the
+window for fresh attestation.
 """
 
 from __future__ import annotations
@@ -98,6 +100,73 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 def q_bm25_search(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return R.bm25_scores(docs, _BM25_TERMS, "doc_id", "text", 1.2, 0.75, 10)
+
+
+# ---------------------------------------------------------------------------
+# BM25 multi-query search: a (query_id, term) workload scored in ONE
+# pass over the corpus — the shape a real retrieval user hits first.
+# ---------------------------------------------------------------------------
+_BM25_QUERIES = [
+    ("q1", "spark"),
+    ("q1", "merge"),
+    ("q2", "window"),
+    ("q2", "spark"),
+    ("q3", "merge"),
+]
+_BM25_Q_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@register(
+    "q_bm25_multi",
+    f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    base AS (
+      SELECT doc_id AS _id, LEN(STRING_SPLIT(text, ' ')) AS dl,
+             STRING_SPLIT(text, ' ') AS ws
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    avg_ AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)
+               AS avgdl
+      FROM base
+    ), terms AS (
+      SELECT _id, dl, UNNEST(ws) AS term FROM base
+    ), tf AS (
+      SELECT _id, dl, term, COUNT(*) AS tf FROM terms
+      WHERE term IN (SELECT term FROM q) GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), idf AS (
+      SELECT term,
+             LN(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfreq
+    ), contrib AS (
+      SELECT tf._id, tf.term,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                 (tf.dl / (SELECT avgdl FROM avg_)))) AS c
+      FROM tf JOIN idf ON tf.term = idf.term
+    ), perq AS (
+      SELECT q.query_id, contrib._id, ROUND(SUM(c), 6) AS bm25
+      FROM contrib JOIN q ON contrib.term = q.term
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, bm25, rank FROM (
+      SELECT query_id, _id AS doc_id, bm25,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, _id) AS rank
+      FROM perq)
+    WHERE rank <= 5
+    """,
+    doc="retrieval: BM25 top-5 docs per query for a 3-query workload in "
+    "one corpus pass (k1=1.2, b=0.75)",
+)
+def q_bm25_multi(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "term"])
+    return R.bm25_scores_multi(
+        docs, queries, "doc_id", "text", "query_id", "term", 1.2, 0.75, 5
+    )
 
 
 # ---------------------------------------------------------------------------

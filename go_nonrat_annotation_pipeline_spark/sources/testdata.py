@@ -22,7 +22,18 @@ def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
     column, read from the footer with pyarrow — no Spark session conf
     involved, so callers can decide whether the nanosAsLong workaround
     is needed BEFORE touching session state. Returns None when the
-    column is absent or not a timestamp."""
+    column is absent, not a timestamp, or the footer is unreadable
+    (corrupt/non-parquet file) — callers then proceed without the nanos
+    workaround and Spark's own reader surfaces the real error.
+
+    Directory layouts are probed via the FIRST part file only (single-
+    footer assumption, same as streaming/stream.read_events_stream): the
+    driver's datasets are single-writer and unit-homogeneous. A mixed-
+    unit directory (first part micros, later parts nanos) would skip the
+    nanosAsLong conf and fail in the scan — re-encode such data rather
+    than mixing units within one dataset.
+    """
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     p = path
@@ -33,7 +44,8 @@ def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
         p = os.path.join(p, parts[0])
     try:
         t = pq.read_schema(p).field(col).type
-    except (KeyError, OSError):
+    except (KeyError, OSError, ValueError, pa.ArrowInvalid):
+        # ArrowInvalid: corrupt/truncated footer or not a parquet file
         return None
     return getattr(t, "unit", None)
 

@@ -229,6 +229,88 @@ def test_watermark_drops_late_rows_in_append(spark, tmp_path):
     assert (0, 2) not in out
 
 
+def test_checkpoint_restart_foreach_batch_merge(spark, tmp_path, incoming_dir):
+    """Restart-recovery THROUGH the foreachBatch → MERGE bridge: stop
+    after the first committed micro-batch, add a second incoming file
+    (one replayed key + one new key), restart against the SAME
+    checkpointLocation, and assert exactly-once upsert effects — the
+    committed batch is not re-delivered, the replayed key classifies as
+    touch (reference semantics: MAHDL.java:127-187 idempotent touch),
+    and the store ends with exactly one row per key.
+
+    The writeStream is built inline rather than via merge_into_store so
+    streaming/stream.py stays byte-frozen this round (its rows hold
+    round-3 driver attestations outside the round-4 window); the merge
+    path exercised — foreachBatch → AnnotStore.merge_upsert — is the
+    identical store call.
+    """
+    store = AnnotStore(spark, str(tmp_path / "fa_ckpt"))
+    store.init_empty()
+    src = str(tmp_path / "incoming_ckpt")
+    ckpt = str(tmp_path / "merge_ckpt")
+    os.makedirs(src)
+
+    def write_incoming(rows, name):
+        df = spark.createDataFrame(
+            [tuple(r[f.name] for f in INCOMING_SCHEMA.fields) for r in rows],
+            INCOMING_SCHEMA,
+        )
+        df.coalesce(1).write.parquet(os.path.join(src, name))
+
+    def run_once(run_ts):
+        stats = []
+
+        def handle(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            stats.append(store.merge_upsert(batch_df, run_ts))
+
+        q = (
+            spark.readStream.schema(INCOMING_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return stats
+
+    # micro-batch 1: two fresh annotations, committed to the checkpoint
+    write_incoming(
+        [
+            _incoming_row("GO:0000001", 101, "PMID:1"),
+            _incoming_row("GO:0000002", 102, "PMID:2"),
+        ],
+        "b1",
+    )
+    stats1 = run_once(datetime(2026, 6, 1, 12, 0, 0))
+    assert sum(s.inserted for s in stats1) == 2
+    assert store.read().count() == 2
+
+    # "kill" happened here (query stopped); micro-batch 2 arrives: one
+    # key replayed from b1 + one genuinely new key
+    write_incoming(
+        [
+            _incoming_row("GO:0000001", 101, "PMID:1"),  # replay → touch
+            _incoming_row("GO:0000003", 103, "PMID:3"),  # new → insert
+        ],
+        "b2",
+    )
+    stats2 = run_once(datetime(2026, 6, 2, 12, 0, 0))
+    # exactly-once: the restart processed ONLY b2 (2 rows), never re-ran b1
+    assert sum(s.inserted for s in stats2) == 1
+    assert sum(s.touched for s in stats2) == 1
+    assert sum(s.updated for s in stats2) == 0
+    final = store.read()
+    assert final.count() == 3
+    assert final.select("term_acc").distinct().count() == 3
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """Stop/restart against the same checkpointLocation: committed
     micro-batches are not re-emitted (exactly-once file-source replay)."""

@@ -90,6 +90,29 @@ def main():
         lambda: D.simhash(docs, "doc_id", "text", 32).count(),
         n_docs,
     )
+
+    # TF-IDF without the broadcast hint (round 4): the term dictionary
+    # joins shuffle-side unless AQE measures it small enough to
+    # broadcast — the 100 TB-safe shape (a forced broadcast of the
+    # distinct-term table OOMs the driver at corpus scale).
+    from go_nonrat_annotation_pipeline_spark.operators import retrieval as R
+
+    timed(
+        "tfidf_top_terms(k=3)",
+        lambda: R.tfidf_top_terms(docs, "doc_id", "text", 3).count(),
+        n_docs,
+    )
+    # multi-query BM25: whole 3-query workload in ONE corpus pass
+    bm25_q = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "merge"), ("q2", "window"),
+         ("q2", "spark"), ("q3", "merge")],
+        ["query_id", "term"],
+    )
+    timed(
+        "bm25_multi(3 queries)",
+        lambda: R.bm25_scores_multi(docs, bm25_q).count(),
+        n_docs,
+    )
     queries = emb.limit(10).localCheckpoint()
     timed(
         "sim_lsh_ann(10 queries)",
