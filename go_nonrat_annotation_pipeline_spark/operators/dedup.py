@@ -214,6 +214,7 @@ def connected_components_star(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 30,
+    max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -231,6 +232,12 @@ def connected_components_star(
     Invariant: after each round every edge points (larger → smaller),
     so the edge set is its own canonical form and convergence is a
     set-equality check (count + one-sided except) per round.
+
+    ``max_edges`` is a defense against pathological pair graphs (e.g. a
+    near-duplicate detector misconfigured to emit quadratic candidates):
+    if set and the canonicalized edge count exceeds it, raise instead of
+    burning cluster-hours; when unset, the edge count of every round is
+    still visible via the warning log below once it crosses 100M.
     """
     E = (
         pairs.select(
@@ -242,6 +249,21 @@ def connected_components_star(
         .localCheckpoint()
     )
     n_edges = E.count()
+    if max_edges is not None and n_edges > max_edges:
+        raise ValueError(
+            f"pair graph has {n_edges} edges > max_edges={max_edges}; "
+            "the candidate generator upstream is likely emitting "
+            "near-quadratic pairs — fix it rather than clustering them"
+        )
+    if n_edges > 100_000_000:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components_star: %d edges — expect %d+ shuffle "
+            "rounds over the full pair graph",
+            n_edges,
+            max(1, n_edges.bit_length() // 2),
+        )
     for _ in range(max_iterations):
         if n_edges == 0:
             break
@@ -459,10 +481,12 @@ def embedding_near_dup_pairs(
     threshold: float = 0.45,
     bucket_col: str | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold.
+    """TEST/BASELINE ONLY when bucket_col is None: the unbucketed form is
+    an O(N^2) crossJoin kept as the exact-recall oracle for the LSH path.
 
-    bucket_col bounds the self-join (IVF-style); None = brute force
-    (only sane at small N or as the verify stage after LSH).
+    bucket_col bounds the self-join (IVF-style) and is the only form
+    that survives production scale; None = brute force (only sane at
+    small N or as the verify stage after LSH candidate generation).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     docs = df.select(F.col(id_col).alias("_id"), v.alias("v"), *([bucket_col] if bucket_col else []))
