@@ -13,10 +13,15 @@ from ..functions import hashing as H
 from ..operators import dedup as D
 from ..operators import similarity as Ssim
 from ..sources.testdata import load_table
-from .queries_similarity import _COS as _SIM_COS
 from .registry import register
-
-_WORDS = "STRING_SPLIT(text, ' ')"
+from .shared_sql import (  # noqa: F401
+    COS as _SIM_COS,
+    PAIR_CTES as _PAIR_CTES,
+    SH as _SH,
+    SH2 as _SH2,
+    WORDS as _WORDS,
+    sql_simhash as _sql_simhash,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -25,33 +30,9 @@ _WORDS = "STRING_SPLIT(text, ' ')"
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH banding with Jaccard verification
+# MinHash + LSH banding with Jaccard verification (shared SQL fragments
+# _SH / _PAIR_CTES live in shared_sql.py — see its docstring for why)
 # ---------------------------------------------------------------------------
-_SH = H.sql_shingle_hashes(H.sql_word_hashes(_WORDS))
-
-# shared CTE body producing verified near-dup pairs (reused by the
-# pair query and the connected-components clustering query)
-_PAIR_CTES = f"""
-    shd AS (
-      SELECT doc_id, LIST_DISTINCT({_SH}) AS sh FROM documents
-    ), docs AS (
-      SELECT doc_id, sh, {H.sql_minhash_signature('sh')} AS sig
-      FROM shd WHERE LEN(sh) > 0
-    ), bands AS (
-      SELECT doc_id, b,
-             LIST_EXTRACT(sig, 2 * b + 1) AS h0,
-             LIST_EXTRACT(sig, 2 * b + 2) AS h1
-      FROM docs, UNNEST(GENERATE_SERIES(0, {D.N_BANDS - 1})) AS t(b)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-      FROM bands a JOIN bands c
-        ON a.b = c.b AND a.h0 = c.h0 AND a.h1 = c.h1 AND a.doc_id < c.doc_id
-    ), ver AS (
-      SELECT id_a, id_b,
-             CAST(LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s))) AS DOUBLE)
-               / (LEN(x.sh) + LEN(y.sh) - LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s)))) AS j
-      FROM cand JOIN docs x ON x.doc_id = cand.id_a JOIN docs y ON y.doc_id = cand.id_b
-    )"""
 
 
 
@@ -119,26 +100,9 @@ def dedup_clusters_minlabel(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# SimHash signatures (map-side only)
+# SimHash signatures (map-side only; _sql_simhash in shared_sql.py) and
+# bucketed n-gram Jaccard pairs (_SH2 in shared_sql.py)
 # ---------------------------------------------------------------------------
-def _sql_simhash(bits: int = 32) -> str:
-    parts = []
-    for b in range(bits):
-        pw = 1 << b
-        bit_sum = (
-            f"LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], wh), "
-            f"(acc, h) -> acc + 2 * ((h // {pw}) % 2) - 1)"
-        )
-        parts.append(f"CASE WHEN {bit_sum} > 0 THEN CAST({pw} AS BIGINT) ELSE 0 END")
-    return " + ".join(parts)
-
-
-
-
-# ---------------------------------------------------------------------------
-# bucketed n-gram Jaccard pairs
-# ---------------------------------------------------------------------------
-_SH2 = H.sql_shingle_hashes(H.sql_word_hashes(_WORDS), 2)
 
 
 

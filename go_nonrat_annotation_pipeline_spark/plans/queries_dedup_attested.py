@@ -14,8 +14,13 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..operators import dedup as D
 from ..sources.testdata import load_table
-from .queries_dedup import _PAIR_CTES, _SH2, _WORDS, _sql_simhash
 from .registry import register
+from .shared_sql import (
+    PAIR_CTES as _PAIR_CTES,
+    SH2 as _SH2,
+    WORDS as _WORDS,
+    sql_simhash as _sql_simhash,
+)
 
 
 @register(

@@ -8,33 +8,7 @@ from ..operators import similarity as S
 from ..operators.util import ensure_parallelism
 from ..sources.testdata import load_table
 from .registry import register
-
-_COS = """
-  LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-      LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q.v)),
-                     i -> LIST_EXTRACT(q.v, i) * LIST_EXTRACT(c.v, i))),
-      (acc, x) -> acc + x)
-  / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-         LIST_TRANSFORM(q.v, x -> x * x)), (acc, x) -> acc + x))
-   * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-         LIST_TRANSFORM(c.v, x -> x * x)), (acc, x) -> acc + x)))
-"""
-
-
-def _cos_sql(a: str, b: str) -> str:
-    """General DuckDB cosine(a, b) mirroring operators/dedup.cosine —
-    sequential fold in index order, init 0.0, so the arithmetic is
-    bit-identical to Spark's F.aggregate."""
-    return f"""
-      LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-          LIST_TRANSFORM(GENERATE_SERIES(1, LEN({a})),
-                         i -> LIST_EXTRACT({a}, i) * LIST_EXTRACT({b}, i))),
-          (acc, x) -> acc + x)
-      / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-             LIST_TRANSFORM({a}, x -> x * x)), (acc, x) -> acc + x))
-       * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
-             LIST_TRANSFORM({b}, x -> x * x)), (acc, x) -> acc + x)))
-    """
+from .shared_sql import COS as _COS, cos_sql as _cos_sql  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

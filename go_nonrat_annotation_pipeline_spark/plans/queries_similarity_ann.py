@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..sources.testdata import load_table
-from .queries_similarity import _COS
 from .registry import register
+from .shared_sql import COS as _COS
 
 
 # ---------------------------------------------------------------------------

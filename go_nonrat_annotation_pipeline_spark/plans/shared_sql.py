@@ -1,0 +1,91 @@
+"""Shared DuckDB-oracle SQL fragments used by more than one plans module.
+
+This module REGISTERS NOTHING and must never import `registry`: the
+driver's correctness window covers the first 50 registered queries in
+import order (plans/registry.py), so a cross-module constant import that
+drags a whole registering module in early silently reshuffles the
+window. Round 3 lost 7 window slots to exactly that (queries_dedup /
+queries_similarity registered at first touch from the *_attested /
+*_ann modules); keeping the shared fragments here keeps registration
+order fully under registry.py's control.
+"""
+
+from __future__ import annotations
+
+from ..functions import hashing as H
+from ..operators import dedup as D
+
+WORDS = "STRING_SPLIT(text, ' ')"
+
+# word-shingle hash list over `documents.text` (3-shingles by default)
+SH = H.sql_shingle_hashes(H.sql_word_hashes(WORDS))
+
+# 2-shingles for the n-gram Jaccard query
+SH2 = H.sql_shingle_hashes(H.sql_word_hashes(WORDS), 2)
+
+# shared CTE body producing verified near-dup pairs (reused by the
+# pair query and the connected-components clustering queries)
+PAIR_CTES = f"""
+    shd AS (
+      SELECT doc_id, LIST_DISTINCT({SH}) AS sh FROM documents
+    ), docs AS (
+      SELECT doc_id, sh, {H.sql_minhash_signature('sh')} AS sig
+      FROM shd WHERE LEN(sh) > 0
+    ), bands AS (
+      SELECT doc_id, b,
+             LIST_EXTRACT(sig, 2 * b + 1) AS h0,
+             LIST_EXTRACT(sig, 2 * b + 2) AS h1
+      FROM docs, UNNEST(GENERATE_SERIES(0, {D.N_BANDS - 1})) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.h0 = c.h0 AND a.h1 = c.h1 AND a.doc_id < c.doc_id
+    ), ver AS (
+      SELECT id_a, id_b,
+             CAST(LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s))) AS DOUBLE)
+               / (LEN(x.sh) + LEN(y.sh) - LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s)))) AS j
+      FROM cand JOIN docs x ON x.doc_id = cand.id_a JOIN docs y ON y.doc_id = cand.id_b
+    )"""
+
+
+def sql_simhash(bits: int = 32) -> str:
+    """DuckDB SimHash over a word-hash list column `wh`, bit-identical
+    to operators/dedup.simhash (majority vote per bit, +pw on tie-free
+    positive sums only)."""
+    parts = []
+    for b in range(bits):
+        pw = 1 << b
+        bit_sum = (
+            f"LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], wh), "
+            f"(acc, h) -> acc + 2 * ((h // {pw}) % 2) - 1)"
+        )
+        parts.append(f"CASE WHEN {bit_sum} > 0 THEN CAST({pw} AS BIGINT) ELSE 0 END")
+    return " + ".join(parts)
+
+
+# DuckDB cosine between q.v and c.v — sequential fold in index order,
+# init 0.0, so the arithmetic is bit-identical to Spark's F.aggregate.
+COS = """
+  LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+      LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q.v)),
+                     i -> LIST_EXTRACT(q.v, i) * LIST_EXTRACT(c.v, i))),
+      (acc, x) -> acc + x)
+  / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+         LIST_TRANSFORM(q.v, x -> x * x)), (acc, x) -> acc + x))
+   * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+         LIST_TRANSFORM(c.v, x -> x * x)), (acc, x) -> acc + x)))
+"""
+
+
+def cos_sql(a: str, b: str) -> str:
+    """General DuckDB cosine(a, b) mirroring operators/dedup.cosine."""
+    return f"""
+      LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+          LIST_TRANSFORM(GENERATE_SERIES(1, LEN({a})),
+                         i -> LIST_EXTRACT({a}, i) * LIST_EXTRACT({b}, i))),
+          (acc, x) -> acc + x)
+      / (SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+             LIST_TRANSFORM({a}, x -> x * x)), (acc, x) -> acc + x))
+       * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
+             LIST_TRANSFORM({b}, x -> x * x)), (acc, x) -> acc + x)))
+    """
