@@ -76,6 +76,60 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def gopher_features(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality features (Rae et al. 2021, §A1.1),
+    integer-exact so both engines agree bit-for-bit.
+
+    All ratios are scaled integers (x100 / permille) via FLOOR of a
+    single per-row IEEE double division — deterministic and identical
+    across engines (the float-discipline rule in plans/registry.py is
+    about order-dependent multi-row accumulation, which this is not),
+    with explicit FLOOR because Spark's double→long cast truncates
+    while DuckDB's rounds. Entirely map-side: every feature is a
+    codegen expression over the word array, no explode, no shuffle.
+    """
+    ws = words(text)
+    n_words = F.size(ws)
+    # sum of word lengths == chars minus the (n-1) separating spaces
+    char_sum = F.length(text) - (n_words - F.lit(1))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("^[a-z]+$")))
+    stop_hits = stopword_count(ws, STOP_EN)
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len_x100": F.floor(char_sum * 100 / n_words).cast("long"),
+        "alpha_word_permille": F.floor(alpha_words * 1000 / n_words).cast("long"),
+        "stop_hits": stop_hits.cast("long"),
+    }
+
+
+def gopher_pass(feats: dict[str, Column], min_words: int = 10, max_words: int = 100_000) -> Column:
+    """The Gopher keep/drop decision over :func:`gopher_features`:
+    word count in range, mean word length in [3, 10] chars, >=70% purely
+    alphabetic words, >=2 English stopword hits."""
+    return (
+        (feats["n_words"] >= min_words)
+        & (feats["n_words"] <= max_words)
+        & (feats["mean_word_len_x100"] >= 300)
+        & (feats["mean_word_len_x100"] <= 1000)
+        & (feats["alpha_word_permille"] >= 700)
+        & (feats["stop_hits"] >= 2)
+    )
+
+
+def dup_shingle_permille(wh: Column, n: int = 5) -> Column:
+    """Repetition signal: fraction (permille) of n-gram shingles that are
+    duplicates of an earlier shingle in the same doc. Map-side only —
+    the shingle array never leaves the row."""
+    from . import hashing as H
+
+    sh = H.shingle_hashes(wh, n)
+    n_sh = F.size(sh)
+    n_uniq = F.size(F.array_distinct(sh))
+    return F.when(n_sh > 0, F.floor((n_sh - n_uniq) * 1000 / n_sh).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL builders (same constants / same arithmetic)
 # ---------------------------------------------------------------------------
@@ -86,6 +140,43 @@ def sql_words(text_expr: str) -> str:
 def sql_stopword_count(ws_expr: str, stopwords: list[str]) -> str:
     inlist = ", ".join(f"'{w}'" for w in stopwords)
     return f"LEN(LIST_FILTER({ws_expr}, w -> w IN ({inlist})))"
+
+
+def sql_gopher_features(text_expr: str) -> dict[str, str]:
+    """DuckDB mirrors of :func:`gopher_features` (same FLOOR-of-double
+    arithmetic; LEN of STRING_SPLIT == Spark's size of split)."""
+    ws = sql_words(text_expr)
+    n_words = f"LEN({ws})"
+    char_sum = f"(LENGTH({text_expr}) - ({n_words} - 1))"
+    alpha = f"LEN(LIST_FILTER({ws}, w -> regexp_full_match(w, '[a-z]+')))"
+    stop = sql_stopword_count(ws, STOP_EN)
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len_x100": f"CAST(FLOOR(CAST({char_sum} AS DOUBLE) * 100 / {n_words}) AS BIGINT)",
+        "alpha_word_permille": f"CAST(FLOOR(CAST({alpha} AS DOUBLE) * 1000 / {n_words}) AS BIGINT)",
+        "stop_hits": f"CAST({stop} AS BIGINT)",
+    }
+
+
+def sql_gopher_pass(feats: dict[str, str], min_words: int = 10, max_words: int = 100_000) -> str:
+    return (
+        f"({feats['n_words']} BETWEEN {min_words} AND {max_words}"
+        f" AND {feats['mean_word_len_x100']} BETWEEN 300 AND 1000"
+        f" AND {feats['alpha_word_permille']} >= 700"
+        f" AND {feats['stop_hits']} >= 2)"
+    )
+
+
+def sql_dup_shingle_permille(wh_expr: str, n: int = 5) -> str:
+    """DuckDB mirror of :func:`dup_shingle_permille`."""
+    from . import hashing as H
+
+    sh = H.sql_shingle_hashes(wh_expr, n)
+    return (
+        f"(SELECT CASE WHEN LEN(__dsh) > 0 THEN "
+        f"CAST(FLOOR(CAST(LEN(__dsh) - LEN(LIST_DISTINCT(__dsh)) AS DOUBLE) * 1000 / LEN(__dsh)) AS BIGINT) "
+        f"ELSE 0 END FROM (SELECT {sh} AS __dsh) __dst)"
+    )
 
 
 def sql_predicted_lang(ws_expr: str) -> str:

@@ -41,35 +41,41 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry; INSERTION ORDER MATTERS:
     # the driver's per-round correctness snapshot covers the FIRST 50
-    # entries in registry order (r1-r3 windows confirm). NOTE the
-    # cross-module constant imports (queries_dedup_attested →
-    # queries_dedup → queries_similarity; queries_similarity_ann →
-    # queries_similarity) register the DEPENDENCY module's queries at
-    # first touch, so the effective order below includes them early.
-    # Round-4 window (exactly 50), ordered by attestation staleness:
+    # entries in registry order (r1-r3 windows confirm). Shared SQL
+    # fragments live in shared_sql.py (never registers), so no module
+    # import drags another registering module in early.
+    # Round-4 window (exactly 50), ordered by attestation staleness then
+    # novelty:
     #   1-4   queries_r4_fixes       — the four repaired never-green rows
     #   5-8   queries_retrieval      — operator module changed this round
     #         (tfidf broadcast-hint removal, BM25 fold/guards, new
     #         q_bm25_multi), so all rows re-enter
-    #   9-15  queries_similarity (2) + queries_dedup (5) — pulled in by
-    #         the dependency imports; r3-green, harmless re-attestation
-    #   16-20 queries_dedup_attested — the ONLY rows whose latest green
-    #         is round 1 (r2's window did not include them) — the
-    #         stalest rows in the registry, must re-enter this round
-    #   21-24 queries_similarity_ann — three r2-only rows (+
+    #   9-13  queries_dedup_attested — the ONLY rows whose latest green
+    #         is round 1 — the stalest rows in the registry
+    #   14-17 queries_similarity_ann — three r2-only rows (+
     #         sim_topk_bruteforce, green r3, rides along)
-    #   25-50 queries_relational     — first 26 of 33 (last green r2)
+    #   18-30 round-4 NEW surface, never attested: sketches (3),
+    #         joins (2), quality (2), graph (3), layout (2),
+    #         streaming sliding window (1)
+    #   31-50 queries_relational     — first 20 of 33 (last green r2,
+    #         byte-unchanged since)
     # Everything after slot 50 holds an r2 or r3 green on byte-identical
     # content (see VERDICT.md round 3 + CORRECTNESS_r0{1,2,3}.json).
-    # Round-5 rotation priority (all last-green r2 after this round):
-    # relational's trailing 7 (j09, j11, j12, a1, a6, q5, rollup),
-    # consolidate (3), closure (2), upsert (2), window/set-ops (5) —
-    # 19 slots — then the r3/r4 bulk as space allows.
+    # Round-5 rotation priority: relational's trailing 13 (p1x tail,
+    # j09-j12, a1, a6, q5, rollup — r2), consolidate (3, r2),
+    # closure (2, r2), upsert (2, r2), window/set-ops (5, r2) — then the
+    # r3/r4 bulk as space allows.
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,
         queries_dedup_attested,
         queries_similarity_ann,
+        queries_sketches,
+        queries_joins,
+        queries_quality,
+        queries_graph,
+        queries_layout,
+        queries_streaming_sliding,
         queries_relational,
         queries_consolidate,
         queries_closure,

@@ -96,6 +96,25 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) window counts: each event lands in
+    window/slide overlapping windows. State per key is bounded by the
+    watermark exactly as in tumbling_counts; the only extra cost is the
+    window/slide replication factor on the shuffled rows — Spark
+    expands the windows BEFORE the shuffle, so map-side partial
+    aggregation still applies per (window, event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_id int, n_events long, "
     "session_start timestamp, session_end timestamp"

@@ -1,0 +1,88 @@
+"""Sketch operators: estimator accuracy, mergeability, and the
+integer-exactness invariants the oracle hash gate relies on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_nonrat_annotation_pipeline_spark.operators import sketches as SK
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").cache()
+
+
+def _key():
+    return F.concat_ws("|", "l_partkey", "l_suppkey")
+
+
+def test_hll_estimate_within_tolerance(spark, lineitem):
+    regs = [tuple(r) for r in SK.hll_registers(lineitem, _key(), p=6).collect()]
+    true_n = lineitem.select(_key().alias("k")).distinct().count()
+    est = SK.hll_estimate(regs, p=6)
+    # standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(est - true_n) / true_n < 0.40
+    # register values are small positive integers (rho <= 55)
+    assert all(0 <= r < 64 and 1 <= x <= 55 for r, x in regs)
+
+
+def test_hll_merge_is_registerwise_max(spark, lineitem):
+    """Union sketch == register-wise MAX of shard sketches."""
+    a = lineitem.where("l_orderkey % 2 = 0")
+    b = lineitem.where("l_orderkey % 2 = 1")
+    ra = {r: x for r, x in SK.hll_registers(a, _key()).collect()}
+    rb = {r: x for r, x in SK.hll_registers(b, _key()).collect()}
+    ru = {r: x for r, x in SK.hll_registers(lineitem, _key()).collect()}
+    merged = {r: max(ra.get(r, 0), rb.get(r, 0)) for r in set(ra) | set(rb)}
+    assert merged == ru
+
+
+def test_kmv_estimate_and_order(spark, lineitem):
+    rows = SK.kmv_minima(lineitem, _key(), k=16).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 17))
+    hvals = [r["hval"] for r in rows]
+    assert hvals == sorted(hvals) and len(set(hvals)) == 16
+    true_n = lineitem.select(_key().alias("k")).distinct().count()
+    est = SK.kmv_estimate(hvals, 16)
+    assert abs(est - true_n) / true_n < 0.75  # k=16 is coarse: 1/sqrt(16)=25%, 3 sigma
+
+
+def test_kmv_fewer_than_k_is_exact(spark):
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], "k int")
+    rows = SK.kmv_minima(df, F.col("k").cast("string"), k=32).collect()
+    assert len(rows) == 5
+    assert SK.kmv_estimate([r["hval"] for r in rows], 32) == 5.0
+
+
+def test_cms_never_undercounts(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    probes = ev.select("event_type").distinct()
+    est = {
+        r["key"]: r["est_count"]
+        for r in SK.cms_point_estimates(
+            ev, F.col("event_type"), probes, "event_type"
+        ).collect()
+    }
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    for k in true:
+        assert est[k] >= true[k]  # CMS is an upper bound, always
+        # and with w=256 >> 5 distinct keys, collisions are bounded
+        assert est[k] <= true[k] + ev.count() // 2
+
+
+def test_cms_absent_key_small(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    probes = spark.createDataFrame([("nonexistent-type",)], "event_type string")
+    [row] = SK.cms_point_estimates(
+        ev, F.col("event_type"), probes, "event_type"
+    ).collect()
+    # not necessarily 0 (collisions), but bounded by eps*N = e/w * N
+    assert row["est_count"] <= 3 * ev.count() * 3 // 256
