@@ -90,6 +90,10 @@ def all_queries() -> dict[str, Q]:
         queries_analytics,
         queries_sampling,
         queries_curation,
+        # round-4 additions AFTER the window (never attested yet; all
+        # verified by tools/compare.py; they lead the round-5 rotation
+        # together with the stale-r2 blocks listed above)
+        queries_similarity_pq,
     )
 
     return dict(_REGISTRY)
