@@ -229,3 +229,75 @@ def sql_cms_point_estimates(
     FROM probe_buckets pb LEFT JOIN counters c USING (d, bucket)
     GROUP BY key
     """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch
+# ---------------------------------------------------------------------------
+def hist_bins(
+    df: DataFrame, value: Column, lo: float, hi: float, n_bins: int = 64
+) -> DataFrame:
+    """Equal-width bin counts over ``value``: (bin, n) — the mergeable
+    state behind distributed quantile estimation.
+
+    bin = clamp(floor((x - lo) / width), 0, n_bins-1); out-of-range
+    values land in the edge bins, NULLs are dropped. The division is
+    ONE deterministic per-row double op feeding FLOOR (the
+    functions/text scaled-integer discipline), so the integer state is
+    bit-identical cross-engine.
+
+    Scale posture: map-side partial counts reduce the shuffle to at
+    most n_bins rows per upstream partition regardless of input size;
+    sketches merge by bin-wise SUM (shards / days / tables roll up
+    without rescanning). Rank error is bounded by the widest bin's
+    mass — tighten by raising n_bins (state stays tiny) or recursing
+    on the heavy bin. Spark's approx_percentile exists but its
+    internal state, like the HLL/CMS built-ins, is not
+    oracle-reproducible; this state is.
+    """
+    width = (hi - lo) / n_bins
+    b = F.floor((value.cast("double") - F.lit(float(lo))) / F.lit(width))
+    clamped = F.least(
+        F.greatest(b, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.where(value.isNotNull())
+        .select(clamped.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_hist_bins(
+    from_sql: str, value_expr: str, lo: float, hi: float, n_bins: int = 64
+) -> str:
+    """DuckDB mirror of :func:`hist_bins` (same clamp arithmetic)."""
+    width = (hi - lo) / n_bins
+    b = f"FLOOR((CAST({value_expr} AS DOUBLE) - ({lo!r})) / ({width!r}))"
+    return f"""
+    SELECT CAST(LEAST(GREATEST({b}, 0), {n_bins - 1}) AS INT) AS bin,
+           COUNT(*) AS n
+    FROM {from_sql}
+    WHERE {value_expr} IS NOT NULL
+    GROUP BY 1
+    """
+
+
+def hist_quantile(
+    bins: list[tuple[int, int]], q: float, lo: float, hi: float, n_bins: int
+) -> float:
+    """Estimate the q-quantile from (bin, n) state: linear interpolation
+    inside the bin containing the target rank (test helper, float
+    domain — deliberately not part of any oracle-checked projection)."""
+    width = (hi - lo) / n_bins
+    counts = dict(bins)
+    total = sum(counts.values())
+    target = q * total
+    acc = 0
+    for b in range(n_bins):
+        n = counts.get(b, 0)
+        if acc + n >= target and n > 0:
+            frac = (target - acc) / n
+            return lo + (b + frac) * width
+        acc += n
+    return hi

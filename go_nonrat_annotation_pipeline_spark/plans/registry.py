@@ -94,6 +94,8 @@ def all_queries() -> dict[str, Q]:
         # verified by tools/compare.py; they lead the round-5 rotation
         # together with the stale-r2 blocks listed above)
         queries_similarity_pq,
+        queries_diff,
+        queries_sketches_hist,
     )
 
     return dict(_REGISTRY)

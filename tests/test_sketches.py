@@ -86,3 +86,47 @@ def test_cms_absent_key_small(spark):
     ).collect()
     # not necessarily 0 (collisions), but bounded by eps*N = e/w * N
     assert row["est_count"] <= 3 * ev.count() * 3 // 256
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch
+# ---------------------------------------------------------------------------
+def test_hist_quantile_close_to_exact(spark, lineitem):
+    lo, hi, nb = 0.0, 110_000.0, 128
+    bins = SK.hist_bins(lineitem, F.col("l_extendedprice"), lo, hi, nb)
+    state = [(r.bin, r.n) for r in bins.collect()]
+    total = sum(n for _, n in state)
+    assert total == lineitem.where(F.col("l_extendedprice").isNotNull()).count()
+    exact = lineitem.selectExpr(
+        "percentile(l_extendedprice, array(0.5, 0.95)) as p"
+    ).first().p
+    for q, want in zip((0.5, 0.95), exact):
+        got = SK.hist_quantile(state, q, lo, hi, nb)
+        # rank error bounded by one bin's mass -> value error ~<= 2 bin widths
+        assert abs(got - want) <= 2 * (hi - lo) / nb, (q, got, want)
+
+
+def test_hist_bins_merge_is_binwise_sum(spark, lineitem):
+    lo, hi, nb = 0.0, 110_000.0, 32
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    whole = dict(
+        (r.bin, r.n)
+        for r in SK.hist_bins(lineitem, F.col("l_extendedprice"), lo, hi, nb).collect()
+    )
+    pa = dict((r.bin, r.n) for r in SK.hist_bins(a, F.col("l_extendedprice"), lo, hi, nb).collect())
+    pb = dict((r.bin, r.n) for r in SK.hist_bins(b, F.col("l_extendedprice"), lo, hi, nb).collect())
+    merged = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
+    assert merged == whole
+
+
+def test_hist_bins_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (1e9,), (None,)], "x double"
+    )
+    got = dict(
+        (r.bin, r.n)
+        for r in SK.hist_bins(df, F.col("x"), 0.0, 10.0, 10).collect()
+    )
+    # -5 clamps to bin 0; 10.0 and 1e9 clamp to bin 9; NULL dropped
+    assert got == {0: 2, 9: 3}
