@@ -56,28 +56,25 @@ def shingle_sets(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return df.withColumn("sh", F.array_distinct(H.shingle_hashes(wh, n)))
 
 
-def minhash_lsh_pairs(
+def _minhash_docs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shingle: int = 3,
-    verify_threshold: float = 0.7,
 ) -> DataFrame:
-    """MinHash + LSH banding near-dup pairs, verified by true Jaccard.
+    """Signature stage shared by the self-join and incremental forms:
+    (_id, sh, _m0.._m7) — distinct shingle set + 8 min-hashes per doc.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
-
-    Physical strategy: the signature stage is expressed relationally —
-    posexplode words → window-lead to form n-gram shingles → two-level
-    hash aggregate (distinct shingles, then 8 min-hash aggregates +
-    collect of the shingle set) — so every hot expression stays inside
-    whole-stage codegen. The equivalent array-lambda formulation
-    (transform/aggregate higher-order fns) is interpreted row-at-a-time
-    and degrades badly in long-lived JVMs. The shuffles introduced are
-    all keyed on the doc id (window and both aggregates share the same
-    partitioning, so Spark plans ONE exchange); map-side partial
-    aggregation shrinks the exploded words back to one row per doc
-    before the wire at 100 TB.
+    Expressed relationally — posexplode words → window-lead to form
+    n-gram shingles → two-level hash aggregate (distinct shingles, then
+    8 min-hash aggregates + collect of the shingle set) — so every hot
+    expression stays inside whole-stage codegen. The equivalent
+    array-lambda formulation (transform/aggregate higher-order fns) is
+    interpreted row-at-a-time and degrades badly in long-lived JVMs.
+    The shuffles introduced are all keyed on the doc id (window and
+    both aggregates share the same partitioning, so Spark plans ONE
+    exchange); map-side partial aggregation shrinks the exploded words
+    back to one row per doc before the wire at 100 TB.
     """
     base = ensure_parallelism(df.select(id_col, text_col))
     words = base.select(
@@ -110,8 +107,12 @@ def minhash_lsh_pairs(
         # verify sides) — without this the signature stage re-runs per consumer
         .localCheckpoint()
     )
-    # band rows: (band_idx, h1..h_r) per doc — the LSH bucket key
-    bands = docs.select(
+    return docs
+
+
+def _band_rows(docs: DataFrame) -> DataFrame:
+    """Explode a signature table into its LSH band rows (the bucket key)."""
+    return docs.select(
         "_id",
         F.explode(
             F.array(
@@ -128,6 +129,23 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("_id", "band.*")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    verify_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified by true Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    Physical strategy: see :func:`_minhash_docs` (signature stage) —
+    band equi-join candidates, verify only collisions, never all-pairs.
+    """
+    docs = _minhash_docs(df, id_col, text_col, n_shingle)
+    bands = _band_rows(docs)
 
     left = bands.select(F.col("_id").alias("id_a"), "b", "h0", "h1")
     right = bands.select(F.col("_id").alias("id_b"), "b", "h0", "h1")
@@ -148,6 +166,55 @@ def minhash_lsh_pairs(
         .withColumn("jaccard_raw", inter / union.cast("double"))
         .where(F.col("jaccard_raw") >= verify_threshold)
         .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+def incremental_minhash_dups(
+    store: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    verify_threshold: float = 0.7,
+) -> DataFrame:
+    """Continuous-ingestion near-dup check: which INCOMING docs
+    near-duplicate something already in the STORE.
+
+    Returns (incoming_id, store_id, jaccard), jaccard rounded to 6.
+
+    This is the shape a 100 TB pipeline actually runs after the initial
+    backfill: the corpus is deduped once, then each new batch checks
+    against the accumulated index. Cost scales with |incoming| + the
+    band-collision count, NOT |store|² — the store side contributes only
+    its (persistable) signature/band table, so a production deployment
+    keeps the band table as a parquet/Delta artifact and this operator's
+    store stage becomes a plain scan. Candidate generation is a band
+    equi-join of incoming bands against store bands (never incoming ×
+    store), and exact Jaccard verification touches only collisions.
+    """
+    sd = _minhash_docs(store, id_col, text_col, n_shingle)
+    nd = _minhash_docs(incoming, id_col, text_col, n_shingle)
+    sb = _band_rows(sd).select(F.col("_id").alias("store_id"), "b", "h0", "h1")
+    nb = _band_rows(nd).select(
+        F.col("_id").alias("incoming_id"), "b", "h0", "h1"
+    )
+    cand = nb.join(sb, ["b", "h0", "h1"]).select(
+        "incoming_id", "store_id"
+    ).distinct()
+    ssets = sd.select(F.col("_id").alias("store_id"), F.col("sh").alias("sh_s"))
+    nsets = nd.select(
+        F.col("_id").alias("incoming_id"), F.col("sh").alias("sh_n")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_s"))
+    union = F.size("sh_n") + F.size("sh_s") - inter
+    return (
+        cand.join(nsets, "incoming_id")
+        .join(ssets, "store_id")
+        .withColumn("jaccard_raw", inter / union.cast("double"))
+        .where(F.col("jaccard_raw") >= verify_threshold)
+        .select(
+            "incoming_id", "store_id", F.round("jaccard_raw", 6).alias("jaccard")
+        )
     )
 
 

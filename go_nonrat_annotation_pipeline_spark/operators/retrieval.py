@@ -337,3 +337,50 @@ def qgram_fuzzy_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def rare_token_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_below: int = 100,
+) -> DataFrame:
+    """Per-document rare-token statistics — the corpus-frequency quality
+    filter (CCNet-family): documents dominated by tokens the corpus has
+    barely seen are OCR noise, boilerplate mutations, or wrong-language
+    fragments.
+
+    Returns (id, n_tokens, n_rare, rare_permille) where a token is rare
+    when its CORPUS occurrence count is < ``rare_below``; rare_permille
+    = floor(1000 * n_rare / n_tokens) (one deterministic per-row double
+    division feeding FLOOR — integer-exact cross-engine).
+
+    Plan: one explode + corpus term counts (one shuffle on term,
+    map-side combine collapses to dictionary size), join back
+    SHUFFLE-side (no broadcast hint — the dictionary is unbounded at
+    100 TB; AQE may still broadcast when the measured size fits), one
+    per-doc aggregate. Identical shuffle skeleton to tfidf_top_terms.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        toks.join(counts, "term")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cnt") < rare_below, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "n_rare",
+        F.floor(F.col("n_rare") * 1000.0 / F.col("n_tokens"))
+        .cast("int")
+        .alias("rare_permille"),
+    )

@@ -96,6 +96,8 @@ def all_queries() -> dict[str, Q]:
         queries_similarity_pq,
         queries_diff,
         queries_sketches_hist,
+        queries_dedup_incremental,
+        queries_quality_rare,
     )
 
     return dict(_REGISTRY)

@@ -127,3 +127,53 @@ def test_winnowing_guarantee(spark):
     assert sets[1] & sets[2]      # shared 8-token run ⇒ shared fingerprint
     assert not (sets[1] & sets[3])
     assert not (sets[2] & sets[3])
+
+
+# ---------------------------------------------------------------------------
+# incremental (continuous-ingestion) near-dup
+# ---------------------------------------------------------------------------
+def test_incremental_equals_cross_side_subset_of_selfjoin(spark):
+    """The incremental operator over a store/incoming split must find
+    exactly the CROSS-SIDE pairs the full self-join finds (same bands,
+    same verify threshold) — no pair invented, none lost."""
+    from pyspark.sql import functions as F
+
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        incremental_minhash_dups,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+
+    inc = {
+        (r.incoming_id, r.store_id, r.jaccard)
+        for r in incremental_minhash_dups(store, incoming).collect()
+    }
+    full = minhash_lsh_pairs(docs).collect()
+    cross = set()
+    for r in full:
+        a_in, b_in = r.id_a % 5 == 0, r.id_b % 5 == 0
+        if a_in != b_in:  # one side incoming, one side store
+            iid, sid = (r.id_a, r.id_b) if a_in else (r.id_b, r.id_a)
+            cross.add((iid, sid, r.jaccard))
+    assert inc == cross
+    assert inc, "split produced no cross-side near-dups; pick another split"
+
+
+def test_incremental_store_side_never_pairs_with_itself(spark):
+    from pyspark.sql import functions as F
+
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        incremental_minhash_dups,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    out = incremental_minhash_dups(store, incoming)
+    bad = out.where(
+        (F.col("incoming_id") % 5 != 0) | (F.col("store_id") % 5 == 0)
+    )
+    assert bad.isEmpty()

@@ -83,3 +83,43 @@ def test_qgram_hot_cap_drops_universal_grams(spark):
     # at least SOME true close pairs rather than exhaustive recall)
     close = {(a, b) for (a, b) in got if abs(a - b) <= 10}
     assert close, "cap dropped every candidate — tune max_gram_freq"
+
+
+# ---------------------------------------------------------------------------
+# rare-token corpus-frequency quality
+# ---------------------------------------------------------------------------
+def test_rare_token_stats_known_answer(spark):
+    from pyspark.sql import functions as F
+
+    from go_nonrat_annotation_pipeline_spark.operators.retrieval import (
+        rare_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # 'b' appears twice in corpus -> rare at <3
+            (2, "a b zz"),       # 'zz' once -> rare
+            (3, "a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rare_token_stats(docs, rare_below=3).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_rare == 1
+    assert out[2].n_tokens == 3 and out[2].n_rare == 2
+    assert out[3].n_tokens == 4 and out[3].n_rare == 0
+    assert out[2].rare_permille == 666  # floor(2000/3)
+
+
+def test_rare_token_join_has_no_broadcast_hint(spark):
+    """The term-count join must stay shuffle-side by default — the
+    dictionary is unbounded at corpus scale (round-3 verdict's tfidf
+    flag applies here too). AQE may still broadcast at runtime when the
+    measured size fits; the assertion is about the LOGICAL hint."""
+    from go_nonrat_annotation_pipeline_spark.operators.retrieval import (
+        rare_token_stats,
+    )
+    from go_nonrat_annotation_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    logical = rare_token_stats(docs)._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
