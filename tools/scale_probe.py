@@ -330,6 +330,111 @@ def main():
         n_ev,
     )
 
+    # ---- round-4 operator families -----------------------------------
+    from go_nonrat_annotation_pipeline_spark.operators import pq as PQ
+    from go_nonrat_annotation_pipeline_spark.operators import sketches as SK
+    from go_nonrat_annotation_pipeline_spark.operators.diff import (
+        snapshot_diff,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.graph import (
+        co_occurrence_edges,
+        triangle_count,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.layout import z_value
+
+    # histogram sketch: shuffle bounded at n_bins rows/partition —
+    # wall-clock should track the SCAN, not the aggregate
+    timed(
+        "hist_bins(128 bins)",
+        lambda: SK.hist_bins(
+            li, F.col("l_partkey").cast("double"), 0.0, 25_000.0, 128
+        ).count(),
+        n_li,
+    )
+    timed(
+        "hll_registers(p=6)",
+        lambda: SK.hll_registers(
+            li, F.concat_ws("|", "l_orderkey", "l_partkey")
+        ).count(),
+        n_li,
+    )
+
+    # PQ: encode is a pure map-side scan (argmax expressions folded from
+    # driver-side codebooks); rerank touches Q×shortlist raw rows only.
+    # Codebooks trained once OUTSIDE the timers — a production index
+    # trains on a sample and reuses the codebooks per batch.
+    books = PQ.pq_train(emb, dim=64, m_sub=4, k_codes=8, n_iter=2)
+    timed(
+        "pq_encode(m=4)",
+        lambda: PQ.pq_encode(emb, books).count(),
+        n_emb,
+    )
+    codes_cached = PQ.pq_encode(emb, books).localCheckpoint()
+    pq_queries = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    )
+    timed(
+        "pq_rerank(5 q, short=50)",
+        lambda: PQ.pq_rerank_topk(
+            codes_cached, emb, pq_queries, books, shortlist=50, k=5
+        ).count(),
+        n_emb,
+    )
+
+    # incremental dedup: 20% incoming vs 80% store — per-batch cost
+    # tracks |incoming| + band collisions, not |store|²
+    store_docs = docs.where(F.col("doc_id") % 5 != 0)
+    incoming_docs = docs.where(F.col("doc_id") % 5 == 0)
+    timed(
+        "dedup_incremental(20%)",
+        lambda: D.incremental_minhash_dups(store_docs, incoming_docs).count(),
+        n_docs,
+    )
+
+    # snapshot diff: ONE full-outer hash join; linear in snapshot size
+    ord_old = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.max("l_partkey").alias("v")
+    )
+    ord_new = ord_old.where(F.col("l_orderkey") % 7 != 3).withColumn(
+        "v", F.when(F.col("l_orderkey") % 11 == 0, F.lit(-1)).otherwise(F.col("v"))
+    )
+    n_snap = ord_old.count()
+    timed(
+        "snapshot_diff(keyed)",
+        lambda: snapshot_diff(ord_old, ord_new, ["l_orderkey"]).count(),
+        n_snap,
+    )
+
+    # triangle counting over a degree-bounded co-occurrence graph: the
+    # oriented-wedge join is the quadratic risk — max_group caps it
+    edges_g = co_occurrence_edges(
+        li.select(
+            F.col("l_partkey").alias("item"), F.col("l_orderkey").alias("grp")
+        ),
+        "grp",
+        "item",
+        max_group=8,
+    ).localCheckpoint()
+    n_eg = edges_g.count()
+    timed(
+        "triangle_count(wedges)",
+        lambda: triangle_count(edges_g).collect() and n_eg,
+        n_eg,
+    )
+
+    # z-order key: pure map-side bit interleave
+    timed(
+        "zorder_key(16 bits)",
+        lambda: li.select(
+            z_value(
+                F.pmod(F.col("l_orderkey"), 65536).cast("int"),
+                F.pmod(F.col("l_partkey"), 65536).cast("int"),
+            ).alias("z")
+        ).count(),
+        n_li,
+    )
+
 
 if __name__ == "__main__":
     main()
