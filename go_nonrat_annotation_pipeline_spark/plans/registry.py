@@ -98,6 +98,7 @@ def all_queries() -> dict[str, Q]:
         queries_sketches_hist,
         queries_dedup_incremental,
         queries_quality_rare,
+        queries_streaming_incdedup,
     )
 
     return dict(_REGISTRY)

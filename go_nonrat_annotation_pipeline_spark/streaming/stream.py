@@ -258,3 +258,57 @@ def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
         q.stop()
     spark = agg.sparkSession
     return spark.table(name)
+
+
+def incremental_dedup_stream(
+    doc_stream: DataFrame,
+    initial_store: DataFrame,
+    verify_threshold: float = 0.7,
+) -> DataFrame:
+    """Continuous-ingestion near-dup gate: a document stream checked
+    batch-by-batch against an ACCUMULATING store.
+
+    Each micro-batch runs operators/dedup.incremental_minhash_dups
+    against the store as of that batch; clean (unflagged) docs are
+    admitted into the store, so later batches dedup against everything
+    admitted before them — the semantics of a real ingest pipeline,
+    where today's crawl must not duplicate yesterday's either. Returns
+    the flagged pairs (incoming_id, store_id, jaccard) across all
+    batches as a batch DataFrame.
+
+    State posture: the store is held as a per-batch localCheckpoint (a
+    production deployment appends admitted docs' SIGNATURE/band table
+    to a parquet/Delta artifact instead — the operator only reads the
+    store's bands, so the accumulated state is index-sized, not
+    corpus-sized). Batch order is the file-source order; results are
+    deterministic given deterministic batching (tests/queries pin
+    batches by file mtime).
+    """
+    from ..operators.dedup import incremental_minhash_dups
+
+    spark = doc_stream.sparkSession
+    state = {"store": initial_store.select("doc_id", "text").localCheckpoint()}
+    flagged: list = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        pairs = incremental_minhash_dups(
+            state["store"], batch, verify_threshold=verify_threshold
+        ).collect()
+        flagged.extend((r.incoming_id, r.store_id, r.jaccard) for r in pairs)
+        dup_ids = {p[0] for p in pairs}
+        admitted = batch.where(~F.col("doc_id").isin(list(dup_ids)) if dup_ids else F.lit(True))
+        state["store"] = state["store"].unionByName(admitted).localCheckpoint()
+
+    q = doc_stream.writeStream.outputMode("append").foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        flagged, "incoming_id long, store_id long, jaccard double"
+    ) if flagged else spark.createDataFrame(
+        [], "incoming_id long, store_id long, jaccard double"
+    )

@@ -352,3 +352,46 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     q.stop()
     rows = {(r.event_id, r.v) for r in spark.read.parquet(out_dir).collect()}
     assert rows == {(1, 10), (2, 20), (3, 30)}  # no duplicates, no loss
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental dedup (accumulating store)
+# ---------------------------------------------------------------------------
+def test_incremental_dedup_stream_accumulates_store(spark, tmp_path):
+    """A doc admitted in batch 0 must flag its near-dup arriving in
+    batch 1 — the store accumulates; and a batch-1 dup of the INITIAL
+    store is flagged too."""
+    import os
+
+    from go_nonrat_annotation_pipeline_spark.streaming.stream import (
+        incremental_dedup_stream,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven"
+    store0 = spark.createDataFrame([(100, t_a)], "doc_id long, text string")
+    batches = [
+        [(200, t_b)],                       # novel -> admitted
+        [(300, t_b), (400, t_a)],           # 300 dups admitted 200; 400 dups store 100
+    ]
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    base = 1_600_000_000
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = tmp_path / f"tmp{i}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        dst = staged / f"b{i}.parquet"
+        (tmp / part).rename(dst)
+        os.utime(dst, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    out = incremental_dedup_stream(stream, store0).collect()
+    pairs = {(r.incoming_id, r.store_id): r.jaccard for r in out}
+    assert set(pairs) == {(300, 200), (400, 100)}
+    assert all(j == 1.0 for j in pairs.values())
