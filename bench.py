@@ -57,6 +57,10 @@ EXTENDED = [
     # dedup_clusters_star renamed; min-label became dedup_clusters_minlabel)
     # — same operator timed, comparable to r2's dedup_clusters_star row.
     "dedup_clusters",
+    # round 4 additions
+    "dedup_incremental",
+    "q_hist_quantile_state",
+    "q_snapshot_diff_counts",
 ]
 
 

@@ -262,3 +262,123 @@ def pq_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    coarse_cents: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ: coarse cells gate WHICH rows are ADC-scored, PQ codes
+    decide HOW cheaply — the FAISS-style production composition.
+
+    One map-side scan attaches cell id (argmax over the coarse
+    centroids) and PQ codes (argmax per subspace) — zero shuffles, and
+    at 100 TB both live as tiny int columns next to the corpus, written
+    once at ingest. Per query the probed cells are computed driver-side
+    from the same (tiny) centroid table, the scan prunes to cell ∈
+    probes (partition/file pruning when the corpus is cell-partitioned
+    — the layout a production index uses), ADC scores the survivors via
+    LUT literals, TakeOrderedAndProject keeps the shortlist, and exact
+    cosine re-ranks Q×shortlist raw rows.
+
+    Codebooks here quantize the FULL vector (IVF-PQ without residual
+    encoding); residual/OPQ variants change only what pq_train is fed.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import cosine
+
+    m_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0][1])
+
+    def _arr_sql(xs) -> str:
+        return "array(" + ",".join(f"{x!r}D" for x in xs) + ")"
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [
+        F.col(id_col),
+        argmax_cell(v, sorted(coarse_cents)).cast("int").alias("cell"),
+    ]
+    for s, book in enumerate(codebooks):
+        cols.append(
+            argmax_cell(slice_col(v, s, sub_dim), book)
+            .cast("int")
+            .alias(f"code_{s}")
+        )
+    indexed = df.select(*cols)
+
+    per_query = []
+    for qid, qv in queries:
+        qv = [float(x) for x in qv]
+        qn = _seq_norm(qv)
+        # probed cells: top n_probe by (cos desc, cent_id asc), computed
+        # driver-side with the engine-matching sequential fold
+        ranked = sorted(
+            (
+                (-(_seq_dot(qv, cv) / (qn * _seq_norm(cv))), cid)
+                for cid, cv in coarse_cents
+            ),
+        )[:n_probe]
+        probes = [cid for _, cid in ranked]
+        luts = []
+        for s, book in enumerate(codebooks):
+            qs = qv[s * sub_dim : (s + 1) * sub_dim]
+            qsn = _seq_norm(qs)
+            luts.append(
+                [_seq_dot(qs, cw) / (qsn * _seq_norm(cw)) for _, cw in book]
+            )
+        score = None
+        for s in range(m_sub):
+            term = F.element_at(
+                F.expr(_arr_sql(luts[s])), F.col(f"code_{s}") + 1
+            )
+            score = term if score is None else score + term
+        per_query.append(
+            indexed.where(
+                F.col("cell").isin(probes) & (F.col(id_col) != qid)
+            )
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.round(score, 6).alias("adc_score"),
+            )
+            .orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+            .limit(shortlist)
+        )
+    short = per_query[0]
+    for q in per_query[1:]:
+        short = short.unionByName(q)
+
+    qdf = df.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in vv]) for q, vv in queries],
+        "query_id long, vq array<double>",
+    )
+    vecs = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vc"),
+    )
+    rescored = (
+        F.broadcast(short.select("query_id", "neighbor_id"))
+        .join(vecs, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("vq"), F.col("vc")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -59,14 +59,15 @@ def _km_chain(p: str, i: int) -> str:
     )"""
 
 
-def _subspace_ctes(s: int, sub_dim: int, k_codes: int, iters: int) -> str:
-    """Sliced points + seed + unrolled training + encode for slice s."""
-    p = f"s{s}"
-    lo = s * sub_dim + 1
-    hi = (s + 1) * sub_dim
+def _train_ctes(
+    p: str, k_codes: int, iters: int, lo: int | None = None, hi: int | None = None
+) -> str:
+    """Points (full vector, or slice [lo, hi]) + md5 seed + unrolled
+    training chain for prefix ``p``; final centroids land in {p}c{iters}."""
+    vexpr = "v" if lo is None else f"LIST_SLICE(v, {lo}, {hi})"
     head = f"""
     , {p}pts AS (
-      SELECT vec_id AS _id, LIST_SLICE(v, {lo}, {hi}) AS v FROM e
+      SELECT vec_id AS _id, {vexpr} AS v FROM e
     ), {p}c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) - 1
                   AS INT) AS cent_id,
@@ -74,8 +75,12 @@ def _subspace_ctes(s: int, sub_dim: int, k_codes: int, iters: int) -> str:
       FROM {p}pts
       QUALIFY ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) <= {k_codes}
     )"""
-    chain = "".join(_km_chain(p, i) for i in range(1, iters + 1))
-    encode = f"""
+    return head + "".join(_km_chain(p, i) for i in range(1, iters + 1))
+
+
+def _encode_cte(p: str, iters: int) -> str:
+    """Nearest-centroid assignment of {p}pts against {p}c{iters}."""
+    return f"""
     , {p}code AS (
       SELECT _id, cell AS code FROM (
         SELECT x._id, t.cent_id AS cell,
@@ -86,7 +91,14 @@ def _subspace_ctes(s: int, sub_dim: int, k_codes: int, iters: int) -> str:
           FROM {p}c{iters}) t)
       WHERE rn = 1
     )"""
-    return head + chain + encode
+
+
+def _subspace_ctes(s: int, sub_dim: int, k_codes: int, iters: int) -> str:
+    """Sliced points + seed + unrolled training + encode for slice s."""
+    p = f"s{s}"
+    return _train_ctes(
+        p, k_codes, iters, s * sub_dim + 1, (s + 1) * sub_dim
+    ) + _encode_cte(p, iters)
 
 
 def _adc_ctes(
@@ -229,4 +241,114 @@ def sim_pq_rerank(spark, sf_dir):
     )
     return PQ.pq_rerank_topk(
         codes, emb, qrows, books, shortlist=_RR["short"], k=_RR["k"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_pq: the full FAISS-style composition — coarse IVF cells gate
+# WHICH rows are ADC-scored, PQ codes decide HOW cheaply, exact cosine
+# re-ranks the shortlist. Oracle = coarse kmeans chain (prefix g) +
+# assignment + two subspace chains + probe/ADC/re-rank CTEs.
+# ---------------------------------------------------------------------------
+_IP = dict(
+    g_cells=8, g_iters=2,      # coarse quantizer
+    m_sub=2, sub_dim=32, k_codes=8, iters=2,   # PQ codebooks
+    n_q=5, n_probe=2, short=20, k=5,
+)
+
+_IVFPQ_ORACLE = (
+    """
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )"""
+    + _train_ctes("g", _IP["g_cells"], _IP["g_iters"])
+    + _encode_cte("g", _IP["g_iters"])
+    + "".join(
+        _subspace_ctes(s, _IP["sub_dim"], _IP["k_codes"], _IP["iters"])
+        for s in range(_IP["m_sub"])
+    )
+    + f"""
+    , probes AS (
+      SELECT query_id, vq, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS vq, t.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY t.cos DESC, t.cent_id) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < {_IP["n_q"]}) q, LATERAL (
+          SELECT cent_id, {_cos_sql('q.v', 'cv')} AS cos
+          FROM gc{_IP["g_iters"]}) t)
+      WHERE rn <= {_IP["n_probe"]}
+    ), adc AS (
+      SELECT p.query_id, g._id AS neighbor_id,
+             ROUND(
+               ({_cos_sql(f'LIST_SLICE(p.vq, 1, {_IP["sub_dim"]})', 'b0.cv')})
+             + ({_cos_sql(f'LIST_SLICE(p.vq, {_IP["sub_dim"] + 1}, {2 * _IP["sub_dim"]})', 'b1.cv')}),
+             6) AS adc_score
+      FROM probes p
+      JOIN gcode g ON g.code = p.cell AND g._id <> p.query_id
+      JOIN s0code n0 ON n0._id = g._id
+      JOIN s1code n1 ON n1._id = g._id
+      JOIN s0c{_IP["iters"]} b0 ON b0.cent_id = n0.code
+      JOIN s1c{_IP["iters"]} b1 ON b1.cent_id = n1.code
+    ), short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_score DESC, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= {_IP["short"]}
+    ), rescored AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND({_cos_sql('q.v', 'n.v')}, 6) AS cosine
+      FROM short s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rescored)
+    WHERE rank <= {_IP["k"]}
+    """
+)
+
+
+@register(
+    "sim_ivf_pq",
+    _IVFPQ_ORACLE,
+    doc="IVF-PQ ANN: coarse-cell pruning + compressed-domain ADC + exact "
+    "re-rank in one map-side-indexed scan (operators/pq.ivf_pq_topk) — "
+    "the FAISS-style production composition",
+)
+def sim_ivf_pq(spark, sf_dir):
+    from ..operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit(
+        emb, k=_IP["g_cells"], max_iter=_IP["g_iters"], early_stop=False
+    )
+    coarse_cents = sorted(
+        (int(r.cent_id), [float(x) for x in r.cv]) for r in coarse.collect()
+    )
+    books = PQ.pq_train(
+        emb,
+        dim=_IP["m_sub"] * _IP["sub_dim"],
+        m_sub=_IP["m_sub"],
+        k_codes=_IP["k_codes"],
+        n_iter=_IP["iters"],
+        early_stop=False,
+    )
+    qrows = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < _IP["n_q"]).collect()
+    )
+    return PQ.ivf_pq_topk(
+        emb,
+        qrows,
+        coarse_cents,
+        books,
+        n_probe=_IP["n_probe"],
+        shortlist=_IP["short"],
+        k=_IP["k"],
     )

@@ -83,3 +83,48 @@ def test_adc_scores_bounded_and_ranked(spark):
         assert scores == sorted(scores, reverse=True)
         # sum of two cosines ∈ [-2, 2]
         assert all(-2.0 <= s <= 2.0 for s in scores)
+
+
+def test_ivf_pq_neighbors_come_from_probed_cells_only(spark):
+    from go_nonrat_annotation_pipeline_spark.operators.kmeans import kmeans_fit
+    from go_nonrat_annotation_pipeline_spark.operators.pq import (
+        _seq_dot,
+        _seq_norm,
+        ivf_pq_topk,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    coarse = kmeans_fit(emb, k=8, max_iter=2, early_stop=False)
+    cents = sorted(
+        (int(r.cent_id), [float(x) for x in r.cv]) for r in coarse.collect()
+    )
+    books = PQ.pq_train(emb, dim=64, m_sub=2, k_codes=8, n_iter=2)
+    qrows = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    )
+    out = ivf_pq_topk(emb, qrows, cents, books, n_probe=2, shortlist=20, k=5)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+
+    # cell membership of every returned neighbor must be within the
+    # query's two probed cells
+    v = emb.selectExpr("vec_id", "embedding as v")
+    cells = {
+        r.vec_id: r.cell for r in ivf_assign(v, coarse, "vec_id", "v").collect()
+    }
+    for qid, qv in qrows:
+        qn = _seq_norm(qv)
+        probed = [
+            cid
+            for _, cid in sorted(
+                (-(_seq_dot(qv, cv) / (qn * _seq_norm(cv))), cid)
+                for cid, cv in cents
+            )[:2]
+        ]
+        for r in rows:
+            if r.query_id == qid:
+                assert cells[r.neighbor_id] in probed
