@@ -169,13 +169,27 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Public signature stage: (_id, sh, _m0.._m7) — the PERSISTABLE
+    near-dup index table (what a deployment writes to parquet/Delta and
+    feeds back as ``incremental_minhash_dups(store_sigs=...)``)."""
+    return _minhash_docs(df, id_col, text_col, n_shingle)
+
+
 def incremental_minhash_dups(
-    store: DataFrame,
+    store: DataFrame | None,
     incoming: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shingle: int = 3,
     verify_threshold: float = 0.7,
+    store_sigs: DataFrame | None = None,
+    incoming_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingestion near-dup check: which INCOMING docs
     near-duplicate something already in the STORE.
@@ -191,9 +205,23 @@ def incremental_minhash_dups(
     store stage becomes a plain scan. Candidate generation is a band
     equi-join of incoming bands against store bands (never incoming ×
     store), and exact Jaccard verification touches only collisions.
+
+    ``store_sigs`` (the ``minhash_signatures`` table of the store) skips
+    the store's signature stage entirely — the persisted-index path: a
+    deployment signatures each batch ONCE at admission and feeds the
+    accumulated table back here, so per-batch cost never rescans store
+    text (streaming/stream.incremental_dedup_stream does exactly this).
     """
-    sd = _minhash_docs(store, id_col, text_col, n_shingle)
-    nd = _minhash_docs(incoming, id_col, text_col, n_shingle)
+    sd = (
+        store_sigs
+        if store_sigs is not None
+        else _minhash_docs(store, id_col, text_col, n_shingle)
+    )
+    nd = (
+        incoming_sigs
+        if incoming_sigs is not None
+        else _minhash_docs(incoming, id_col, text_col, n_shingle)
+    )
     sb = _band_rows(sd).select(F.col("_id").alias("store_id"), "b", "h0", "h1")
     nb = _band_rows(nd).select(
         F.col("_id").alias("incoming_id"), "b", "h0", "h1"

@@ -60,11 +60,16 @@ def all_queries() -> dict[str, Q]:
     #   31-50 queries_relational     — first 20 of 33 (last green r2,
     #         byte-unchanged since)
     # Everything after slot 50 holds an r2 or r3 green on byte-identical
-    # content (see VERDICT.md round 3 + CORRECTNESS_r0{1,2,3}.json).
-    # Round-5 rotation priority: relational's trailing 13 (p1x tail,
-    # j09-j12, a1, a6, q5, rollup — r2), consolidate (3, r2),
-    # closure (2, r2), upsert (2, r2), window/set-ops (5, r2) — then the
-    # r3/r4 bulk as space allows.
+    # content (see VERDICT.md round 3 + CORRECTNESS_r0{1,2,3}.json),
+    # EXCEPT the nine round-4 additions at the very end (similarity_pq
+    # ×3, diff ×2, sketches_hist, dedup_incremental, quality_rare,
+    # streaming_incdedup) — never driver-attested, tools/compare.py
+    # green at sf0.01 this round.
+    # Round-5 rotation priority: (1) the nine never-attested round-4
+    # additions; (2) relational's trailing 13 (p1x tail, j09-j12, a1,
+    # a6, q5, rollup — r2), consolidate (3, r2), closure (2, r2),
+    # upsert (2, r2), window/set-ops (5, r2); (3) the r3/r4 bulk as
+    # space allows.
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,

@@ -276,31 +276,46 @@ def incremental_dedup_stream(
     the flagged pairs (incoming_id, store_id, jaccard) across all
     batches as a batch DataFrame.
 
-    State posture: the store is held as a per-batch localCheckpoint (a
-    production deployment appends admitted docs' SIGNATURE/band table
-    to a parquet/Delta artifact instead — the operator only reads the
-    store's bands, so the accumulated state is index-sized, not
-    corpus-sized). Batch order is the file-source order; results are
-    deterministic given deterministic batching (tests/queries pin
-    batches by file mtime).
+    State posture: the accumulated state is the SIGNATURE table
+    (operators/dedup.minhash_signatures — sh sets + 8 minhashes per
+    doc), not raw text: each batch is signatured exactly once at
+    admission, so per-batch cost is the batch's own signature stage +
+    the band join, and never rescans store text. A production
+    deployment appends the same table to a parquet/Delta artifact; here
+    it is a per-batch localCheckpoint. Batch order is the file-source
+    order; results are deterministic given deterministic batching
+    (tests/queries pin batches by file mtime).
     """
-    from ..operators.dedup import incremental_minhash_dups
+    from ..operators.dedup import incremental_minhash_dups, minhash_signatures
 
     spark = doc_stream.sparkSession
-    state = {"store": initial_store.select("doc_id", "text").localCheckpoint()}
+    state = {
+        "sigs": minhash_signatures(
+            initial_store.select("doc_id", "text")
+        ).localCheckpoint()
+    }
     flagged: list = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch = batch_df.select("doc_id", "text").localCheckpoint()
+        batch_sigs = minhash_signatures(batch).localCheckpoint()
         pairs = incremental_minhash_dups(
-            state["store"], batch, verify_threshold=verify_threshold
+            None,
+            batch,
+            verify_threshold=verify_threshold,
+            store_sigs=state["sigs"],
+            incoming_sigs=batch_sigs,
         ).collect()
         flagged.extend((r.incoming_id, r.store_id, r.jaccard) for r in pairs)
         dup_ids = {p[0] for p in pairs}
-        admitted = batch.where(~F.col("doc_id").isin(list(dup_ids)) if dup_ids else F.lit(True))
-        state["store"] = state["store"].unionByName(admitted).localCheckpoint()
+        admitted_sigs = batch_sigs.where(
+            ~F.col("_id").isin(list(dup_ids)) if dup_ids else F.lit(True)
+        )
+        state["sigs"] = (
+            state["sigs"].unionByName(admitted_sigs).localCheckpoint()
+        )
 
     q = doc_stream.writeStream.outputMode("append").foreachBatch(handle).start()
     try:

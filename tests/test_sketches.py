@@ -130,3 +130,32 @@ def test_hist_bins_clamps_out_of_range(spark):
     )
     # -5 clamps to bin 0; 10.0 and 1e9 clamp to bin 9; NULL dropped
     assert got == {0: 2, 9: 3}
+
+
+def test_hist_quantile_properties():
+    """Pure-estimator properties (no Spark): bounded by [lo, hi] and
+    monotone in q for arbitrary bin states."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 31), st.integers(1, 10_000)),
+            min_size=1,
+            max_size=32,
+        ),
+        st.lists(st.floats(0.01, 0.99), min_size=2, max_size=5),
+    )
+    def check(raw_bins, qs):
+        # collapse duplicate bins (hist state has one row per bin)
+        state = {}
+        for b, n in raw_bins:
+            state[b] = state.get(b, 0) + n
+        bins = sorted(state.items())
+        lo, hi, nb = 0.0, 320.0, 32
+        vals = [SK.hist_quantile(bins, q, lo, hi, nb) for q in sorted(qs)]
+        assert all(lo <= v <= hi for v in vals)
+        assert vals == sorted(vals)  # monotone in q
+
+    check()
