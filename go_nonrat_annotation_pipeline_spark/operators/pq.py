@@ -126,16 +126,24 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """Map-side PQ encoding: (id, code_0..code_{m-1}) — one argmax
-    expression per subspace, zero shuffles, ~m bytes of index per row."""
+    expression per subspace, zero shuffles, ~m bytes of index per row.
+
+    ``assign_kernel=True`` swaps each subspace's interpreted cosine fold
+    for one Arrow numpy matmul per batch (argmax_cell's kernel form) —
+    the scale setting, same switch as the kmeans trainer's; codes are
+    bit-identical unless two codewords tie at float precision
+    (attested by the sim_pq_adc_kernel registry twin's shared oracle).
+    """
     m_sub = len(codebooks)
     sub_dim = dim // m_sub
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cols = [F.col(id_col)]
     for s, book in enumerate(codebooks):
         cols.append(
-            argmax_cell(slice_col(v, s, sub_dim), book)
+            argmax_cell(slice_col(v, s, sub_dim), book, assign_kernel)
             .cast("int")
             .alias(f"code_{s}")
         )

@@ -352,3 +352,32 @@ def sim_ivf_pq(spark, sf_dir):
         shortlist=_IP["short"],
         k=_IP["k"],
     )
+
+
+@register(
+    "sim_pq_adc_kernel",
+    _PQ_ADC_ORACLE,
+    doc="PQ ANN with the Arrow matmul encode kernel "
+    "(pq_encode assign_kernel=True) — SAME oracle as sim_pq_adc: the "
+    "kernel twin pattern (sim_ivf_trained_kernel, "
+    "dedup_embedding_bucketed_kernel) attesting the scale setting "
+    "produces bit-identical codes",
+)
+def sim_pq_adc_kernel(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.pq_train(
+        emb,
+        dim=_ADC["m_sub"] * _ADC["sub_dim"],
+        m_sub=_ADC["m_sub"],
+        k_codes=_ADC["k_codes"],
+        n_iter=_ADC["iters"],
+        early_stop=False,
+    )
+    codes = PQ.pq_encode(
+        emb, books, dim=_ADC["m_sub"] * _ADC["sub_dim"], assign_kernel=True
+    )
+    qrows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < _ADC["n_q"]).collect()
+    ]
+    return PQ.pq_adc_topk(codes, sorted(qrows), books, k=_ADC["k"])
