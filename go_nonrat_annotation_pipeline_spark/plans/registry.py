@@ -105,6 +105,7 @@ def all_queries() -> dict[str, Q]:
         queries_dedup_incremental,
         queries_quality_rare,
         queries_streaming_incdedup,
+        queries_bpe,
     )
 
     return dict(_REGISTRY)
