@@ -102,3 +102,51 @@ def q_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "step int, l string, r string, pair_cnt long"
     )
+
+
+_TOKENIZE_ORACLE = (
+    """
+    WITH wf AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ), st0 AS (
+      SELECT word, cnt,
+             LIST_CONCAT(STRING_SPLIT(word, ''), ['</w>']) AS syms
+      FROM wf
+    )"""
+    + "".join(_step(i) for i in range(1, _N_MERGES + 1))
+    + f"""
+    SELECT token, SUM(cnt) AS n FROM (
+      SELECT cnt, UNNEST(syms) AS token FROM st{_N_MERGES})
+    GROUP BY token
+    """
+)
+
+
+@register(
+    "q_bpe_token_freqs",
+    _TOKENIZE_ORACLE,
+    doc="BPE tokenize-the-corpus: token frequencies after applying the "
+    "trained merges — the word-keyed symbol table joins back to corpus "
+    "counts, so tokenizing 100 TB is dictionary-sized work plus the "
+    "word-frequency aggregate already paid (operators/bpe.apply_merges)",
+)
+def q_bpe_token_freqs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = B.word_freqs(docs).localCheckpoint()
+    sym = B.init_symbols(wf).localCheckpoint()
+    merges = []
+    cur = sym
+    for step in range(1, _N_MERGES + 1):
+        l, r, c = B.top_pair(cur)
+        merges.append((step, l, r, c))
+        cur = B.merge_pair(cur, l, r).localCheckpoint()
+    return (
+        cur.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+    )
