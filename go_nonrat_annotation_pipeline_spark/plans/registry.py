@@ -106,6 +106,8 @@ def all_queries() -> dict[str, Q]:
         queries_quality_rare,
         queries_streaming_incdedup,
         queries_bpe,
+        queries_curation_canonical,
+        queries_langid,
     )
 
     return dict(_REGISTRY)
