@@ -108,6 +108,7 @@ def all_queries() -> dict[str, Q]:
         queries_bpe,
         queries_curation_canonical,
         queries_langid,
+        queries_validation,
     )
 
     return dict(_REGISTRY)

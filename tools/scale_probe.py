@@ -423,6 +423,17 @@ def main():
         n_eg,
     )
 
+    # BPE: the corpus-sized stage is word_freqs (one explode + agg);
+    # merge iterations run on the dictionary (vocab-sized — grows only
+    # with the per-copy suffix tokens under inflation)
+    from go_nonrat_annotation_pipeline_spark.operators import bpe as B
+
+    timed(
+        "bpe_train(2 merges)",
+        lambda: len(B.bpe_train(docs, n_merges=2)),
+        n_docs,
+    )
+
     # z-order key: pure map-side bit interleave
     timed(
         "zorder_key(16 bits)",
