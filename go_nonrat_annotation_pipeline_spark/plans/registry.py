@@ -109,6 +109,7 @@ def all_queries() -> dict[str, Q]:
         queries_curation_canonical,
         queries_langid,
         queries_validation,
+        queries_streaming_cms,
     )
 
     return dict(_REGISTRY)

@@ -327,3 +327,42 @@ def incremental_dedup_stream(
     ) if flagged else spark.createDataFrame(
         [], "incoming_id long, store_id long, jaccard double"
     )
+
+
+def windowed_cms_counters(
+    events: DataFrame,
+    key: "F.Column",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch state maintained incrementally per tumbling
+    window — heavy-hitter counting over a stream without per-key state.
+
+    Each event explodes into ``depth`` salted bucket rows (stateless,
+    map-side), then ONE streaming aggregate on (window, d, bucket):
+    state per window is bounded at depth×width counters however many
+    distinct keys flow through — the property that makes a sketch the
+    right streaming shape (a per-key count would grow state with
+    cardinality; the watermark ages whole windows out). Point estimates
+    come from the batch-side ``operators/sketches.cms_point_estimates``
+    probe math over the emitted counter table.
+    """
+    from ..operators.sketches import hash60
+
+    salts = F.array(*[F.lit(str(d)) for d in range(depth)])
+    exploded = events.select(
+        "ts", F.posexplode(salts).alias("d", "salt"), key.alias("k")
+    ).select(
+        "ts",
+        "d",
+        (hash60(F.concat(F.col("salt"), F.lit("|"), F.col("k"))) % width).alias(
+            "bucket"
+        ),
+    )
+    return (
+        exploded.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

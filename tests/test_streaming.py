@@ -395,3 +395,66 @@ def test_incremental_dedup_stream_accumulates_store(spark, tmp_path):
     pairs = {(r.incoming_id, r.store_id): r.jaccard for r in out}
     assert set(pairs) == {(300, 200), (400, 100)}
     assert all(j == 1.0 for j in pairs.values())
+
+
+def test_windowed_cms_never_undercounts(spark):
+    """CMS upper-bound property holds per streaming window: the MIN over
+    depth counters at a key's buckets >= the key's true count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_nonrat_annotation_pipeline_spark.operators.sketches import hash60
+    from go_nonrat_annotation_pipeline_spark.sources.testdata import load_table
+    from go_nonrat_annotation_pipeline_spark.streaming.stream import (
+        read_events_stream,
+        run_to_memory,
+        windowed_cms_counters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    depth, width = 3, 64
+    events = read_events_stream(spark, os.path.join(sf, "events.parquet"))
+    counters = run_to_memory(
+        windowed_cms_counters(
+            events, F.col("user_id").cast("string"), depth=depth, width=width
+        ),
+        "complete",
+    ).select(
+        F.col("window.start").alias("ws"), "d", "bucket", "cnt"
+    ).localCheckpoint()
+
+    batch = load_table(spark, sf, "events")
+    truth = (
+        batch.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"))
+        .limit(20)
+    )
+    probes = truth.select(
+        "ws",
+        "k",
+        "true_cnt",
+        F.posexplode(
+            F.array(*[F.lit(str(d)) for d in range(depth)])
+        ).alias("d", "salt"),
+    ).select(
+        "ws",
+        "k",
+        "true_cnt",
+        "d",
+        (hash60(F.concat(F.col("salt"), F.lit("|"), F.col("k"))) % width).alias(
+            "bucket"
+        ),
+    )
+    est = (
+        probes.join(counters, ["ws", "d", "bucket"])
+        .groupBy("ws", "k", "true_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    rows = est.collect()
+    assert len(rows) == 20
+    assert all(r.est >= r.true_cnt for r in rows)
