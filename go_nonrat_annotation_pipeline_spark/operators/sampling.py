@@ -183,3 +183,50 @@ def contamination_pairs(
         .groupBy("train_id", "test_id")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    step: int = 1000,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling: select a
+    row whenever the running weight total crosses a multiple of
+    ``step`` — each row's selection probability is weight/step (rows
+    heavier than step are always selected, possibly representing
+    multiple crossings), and the whole sample is INTEGER-EXACT and
+    deterministic (no RNG: the classic systematic PPS design with a
+    fixed ordering key instead of a random start).
+
+    This is how a mixture builder takes a weighted subsample (quality-
+    or length-weighted) reproducibly: same data → same sample, any
+    partitioning. One running-sum window ordered by id (a single range
+    partition sort at scale — at 100 TB shard by a coarse id prefix
+    first and sample within shards, which preserves the per-row
+    inclusion probability).
+
+    Returns (id, weight, n_hits) for selected rows, n_hits = number of
+    step-multiples the row's weight span covers (≥ 1).
+    """
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(id_col).rowsBetween(_W.unboundedPreceding, 0)
+    cum = F.sum(weight.cast("long")).over(w)
+    prev = cum - weight.cast("long")
+
+    # integer floor-div via pmod: (x - x%s)/s is a division of an exact
+    # multiple — bit-exact in both engines for totals < 2^53 (beyond
+    # that, switch the running sum to DECIMAL)
+    def fdiv(x):
+        return ((x - F.pmod(x, F.lit(step))) / F.lit(step)).cast("long")
+
+    hits = (fdiv(cum) - fdiv(prev)).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            weight.cast("long").alias("weight"),
+            hits.alias("n_hits"),
+        )
+        .where(F.col("n_hits") >= 1)
+    )

@@ -110,6 +110,8 @@ def all_queries() -> dict[str, Q]:
         queries_langid,
         queries_validation,
         queries_streaming_cms,
+        queries_sampling_pps,
+        queries_streaming_enrich,
     )
 
     return dict(_REGISTRY)

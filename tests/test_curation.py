@@ -60,3 +60,34 @@ def test_contamination_exact_ngram_only(spark):
     assert (1, 100) in got and got[(1, 100)] >= 1
     assert (2, 100) not in got  # 12-word overlap is NOT contamination
     assert (3, 100) not in got
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling
+# ---------------------------------------------------------------------------
+def test_pps_sample_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from go_nonrat_annotation_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+    from go_nonrat_annotation_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    step = 500
+    out = pps_systematic_sample(docs, F.col("n_chars"), step=step)
+    rows = out.collect()
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    # total hits = number of step boundaries crossed by the full mass
+    assert sum(r.n_hits for r in rows) == total // step
+    # rows at least as heavy as the step are always selected
+    heavy = {r.doc_id for r in docs.where(F.col("n_chars") >= step).collect()}
+    got = {r.doc_id for r in rows}
+    assert heavy <= got
+    # partitioning-invariant (the window defines one global order)
+    out2 = pps_systematic_sample(
+        docs.repartition(7), F.col("n_chars"), step=step
+    )
+    assert sorted(tuple(r) for r in out2.collect()) == sorted(
+        tuple(r) for r in rows
+    )
