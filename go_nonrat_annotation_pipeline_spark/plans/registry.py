@@ -112,6 +112,7 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_cms,
         queries_sampling_pps,
         queries_streaming_enrich,
+        queries_analytics_r4,
     )
 
     return dict(_REGISTRY)
