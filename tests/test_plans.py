@@ -183,3 +183,48 @@ def test_ivf_assignment_is_map_side(spark, registry):
     # details section prints one "(n) Window" line per node; bare
     # .count("Window") would also match WindowGroupLimit
     assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 2, p
+
+
+def test_expectations_referential_join_broadcasts_dim(spark, registry):
+    """The referential-integrity rule joins the customer dim via
+    broadcast — the fact side never shuffles."""
+    p = plan(registry["q_expectations_report"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_langid_profile_join_broadcasts(spark, registry):
+    """The trained profile is bounded (top_k × languages), so the
+    classification join broadcasts it; no shuffle on the doc-bigram
+    side before the join."""
+    p = plan(registry["q_langid_trained"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_funnel_single_aggregate_pass(spark, registry):
+    """Funnel stages come from ONE pass of conditional aggregates —
+    no self-joins of the fact table."""
+    p = plan(registry["q_funnel_ordered"].spark(spark, SF))
+    assert "Join" not in p
+    # two hash aggregates (per-user stages, then the global roll-up)
+    assert p.count(") HashAggregate") >= 2
+
+
+def test_outliers_stats_join_broadcasts(spark, registry):
+    """The 5-row per-type stats table broadcasts back onto the events
+    scan; detection itself is decimal arithmetic in codegen."""
+    p = plan(registry["q_value_outliers"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hist_bins_single_shuffle(spark, registry):
+    """Histogram state: one exchange (the bin aggregate), nothing else."""
+    p = plan(registry["q_hist_quantile_state"].spark(spark, SF))
+    assert p.count(") Exchange") == 1
+
+
+def test_pq_queries_no_python_nodes(spark, registry):
+    """PQ ADC scoring is LUT element_at lookups — pure JVM expressions
+    (the kernel twin opts into Arrow explicitly)."""
+    p = plan(registry["sim_pq_adc"].spark(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
