@@ -113,6 +113,7 @@ def all_queries() -> dict[str, Q]:
         queries_sampling_pps,
         queries_streaming_enrich,
         queries_analytics_r4,
+        queries_sinks_r4,
     )
 
     return dict(_REGISTRY)
