@@ -61,12 +61,11 @@ def all_queries() -> dict[str, Q]:
     #         byte-unchanged since)
     # Everything after slot 50 holds an r2 or r3 green on byte-identical
     # content (see VERDICT.md round 3 + CORRECTNESS_r0{1,2,3}.json),
-    # EXCEPT the twelve round-4 additions at the very end
-    # (similarity_pq ×4 incl. sim_ivf_pq + the adc kernel twin, diff ×2,
-    # sketches_hist ×3 incl. both merge-law rows, dedup_incremental,
-    # quality_rare, streaming_incdedup) — never driver-attested,
-    # tools/compare.py green at sf0.01 this round.
-    # Round-5 rotation priority: (1) the twelve never-attested round-4
+    # EXCEPT the 26 round-4 additions at the very end (modules
+    # similarity_pq through sinks_r4 below) — never driver-attested,
+    # tools/compare.py green at sf0.01 (and the registry-wide sf0.001
+    # sweep) this round.
+    # Round-5 rotation priority: (1) the 26 never-attested round-4
     # additions; (2) relational's trailing 13 (p1x tail, j09-j12, a1,
     # a6, q5, rollup — r2), consolidate (3, r2), closure (2, r2),
     # upsert (2, r2), window/set-ops (5, r2); (3) the r3/r4 bulk as
