@@ -74,3 +74,73 @@ def q_hll_by_group(spark, sf_dir):
         .groupBy("event_type", "register")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+@register(
+    "q_kmv_merge_law",
+    SK.sql_kmv_minima("orders", "CAST(o_custkey AS VARCHAR)", 32),
+    doc="KMV union law attested cross-engine: Spark merges two shard "
+    "bottom-k tables (union distinct, re-rank, truncate to k); the "
+    "oracle sketches the whole table directly — exact because the "
+    "bottom-k of a union of bottom-ks IS the bottom-k of the union",
+)
+def q_kmv_merge_law(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("string")
+    a = SK.kmv_minima(orders.where(F.col("o_orderkey") % 2 == 0), key, 32)
+    b = SK.kmv_minima(orders.where(F.col("o_orderkey") % 2 == 1), key, 32)
+    merged = (
+        a.select("hval")
+        .unionByName(b.select("hval"))
+        .distinct()
+        .orderBy("hval")
+        .limit(32)
+    )
+    w = Window.orderBy("hval")
+    return merged.select(
+        F.row_number().over(w).cast("int").alias("rank"), "hval"
+    )
+
+
+@register(
+    "q_cms_merge_law",
+    f"""
+    WITH exploded AS (
+      SELECT d,
+             {SK.sql_hash60("CAST(d AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)")}
+               % 128 AS bucket
+      FROM orders, UNNEST(GENERATE_SERIES(0, 3)) AS t(d)
+    )
+    SELECT d, bucket, COUNT(*) AS cnt FROM exploded GROUP BY d, bucket
+    """,
+    doc="CMS merge law attested cross-engine: Spark builds two shard "
+    "counter tables and merges by counter-wise SUM; the oracle counts "
+    "the whole table directly",
+)
+def q_cms_merge_law(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    depth, width = 4, 128
+
+    def counters(df):
+        salts = F.array(*[F.lit(str(d)) for d in range(depth)])
+        ex = df.select(
+            F.posexplode(salts).alias("d", "salt"),
+            F.col("o_custkey").cast("string").alias("k"),
+        ).select(
+            "d",
+            (
+                SK.hash60(F.concat(F.col("salt"), F.lit("|"), F.col("k")))
+                % width
+            ).alias("bucket"),
+        )
+        return ex.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+    a = counters(orders.where(F.col("o_orderkey") % 2 == 0))
+    b = counters(orders.where(F.col("o_orderkey") % 2 == 1))
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
