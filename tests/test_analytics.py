@@ -162,3 +162,58 @@ def test_quota_sample_bounds_and_determinism(spark):
 
     per = Counter(s for _, s in got1)
     assert all(v == 10 for v in per.values()) and len(per) == 4
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join self-healing (the built-in alternative to manual salting)
+# ---------------------------------------------------------------------------
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With AQE skew-join handling on (session.py default), a join
+    where one key owns half the left side completes with the skewed
+    partition SPLIT at runtime — the adaptive plan reports
+    'skew=true' on the sort-merge join. The manual-salting operators
+    (operators/skew.py) remain for aggregation paths AQE can't split."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), 503))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(503).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+    )
+    old = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        # thresholds low enough that the toy skew qualifies
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's query execution (count()
+        # would build a separate aggregate plan, leaving this one
+        # unexecuted with isFinalPlan=false)
+        assert len(joined.collect()) == n
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for key, val in old.items():
+            spark.conf.set(key, val)
