@@ -1,0 +1,112 @@
+"""Semantic deduplication (SemDeDup-style) over an embedding column.
+
+Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540): cluster the corpus
+embeddings with k-means, then look for near-duplicate *pairs only
+within a cluster* — the cluster assignment replaces the O(N²) global
+pairwise pass with k independent, cell-bounded pairwise passes.
+
+Scale posture (the 100 TB question): the k-means trainer
+(operators/kmeans.kmeans_fit) is one shuffle per iteration with
+map-side argmax assignment; the within-cell self-join is an equi-join
+on `cell`, so only same-cell rows meet, and cell size is controlled by
+k (grow k with the corpus so cells stay O(10³-10⁴) — the paper runs
+k=50k on LAION). Skewed cells are visible in the report query and can
+be re-split by training a sub-k-means on the hot cell alone. Nothing
+here ever materializes cross-cell pairs.
+
+Drop policy (deterministic, SQL-expressible): within a cell, a vector
+`v` is dropped iff some LOWER-id vector `u` in the same cell has
+cosine(u, v) ≥ tau. This is the transitive-conservative variant of the
+paper's per-group pruning: every duplicate group keeps exactly its
+min-id member as long as the group is a clique at tau; chains may drop
+slightly more than the keep-one-per-group greedy (documented, and the
+right bias for a dedup pass). The kept representative reported per
+dropped row is the min-id matching neighbor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import cosine
+from .similarity import ivf_assign
+from .util import ensure_parallelism
+
+
+def semdedup_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_kernel: bool = False,
+) -> DataFrame:
+    """(_id, v, cell): vectors cast to double and mapped to their
+    nearest trained centroid — pure map-side argmax (no shuffle)."""
+    docs = ensure_parallelism(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+    )
+    return ivf_assign(
+        docs, centroids, "_id", "v", assign_kernel=assign_kernel
+    )
+
+
+def semdedup_drops(
+    assigned: DataFrame,
+    tau: float = 0.45,
+) -> DataFrame:
+    """(cell, drop_id, keep_id, cosine): one row per dropped vector.
+
+    Within-cell self-join (equi-join on `cell`, id-ordered to halve the
+    pairs), exact cosine verify, then per-drop min-id representative via
+    one grouped min_by. Cosine is rounded to 6dp for a stable boundary
+    (same convention as dedup_embedding_bucketed's verify stage).
+    """
+    a = assigned.select(
+        F.col("cell"), F.col("_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("c"),
+        )
+        .where(F.col("c") >= F.lit(tau))
+    )
+    return pairs.groupBy("cell", F.col("id_b").alias("drop_id")).agg(
+        F.min("id_a").alias("keep_id"),
+        F.round(F.min_by("c", "id_a"), 6).alias("cosine"),
+    )
+
+
+def semdedup_report(
+    assigned: DataFrame,
+    drops: DataFrame,
+) -> DataFrame:
+    """(cell, n_vecs, n_dropped): per-cluster dedup pressure — the
+    operational view (hot cells ⇒ grow k or sub-split that cell)."""
+    totals = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dropped = drops.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    return (
+        totals.join(dropped, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias(
+                "n_dropped"
+            ),
+        )
+    )

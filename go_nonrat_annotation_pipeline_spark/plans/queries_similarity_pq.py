@@ -21,61 +21,7 @@ from pyspark.sql import functions as F
 from ..operators import pq as PQ
 from ..sources.testdata import load_table
 from .registry import register
-from .shared_sql import cos_sql as _cos_sql
-
-
-def _km_chain(p: str, i: int) -> str:
-    """One Lloyd's step for subspace prefix ``p`` (CTEs {p}a{i}/{p}m{i}/
-    {p}c{i} against points CTE {p}pts) — the queries_similarity
-    _km_iteration shape, parametrized so independent chains coexist in
-    one statement."""
-    return f"""
-    , {p}a{i} AS (
-      SELECT _id, v, cell FROM (
-        SELECT x._id, x.v, t.cent_id AS cell,
-               ROW_NUMBER() OVER (PARTITION BY x._id
-                                  ORDER BY t.cos DESC, t.cent_id) AS rn
-        FROM {p}pts x, LATERAL (
-          SELECT cent_id, {_cos_sql('x.v', 'cv')} AS cos FROM {p}c{i - 1}) t)
-      WHERE rn = 1
-    ), {p}m{i} AS (
-      SELECT cell AS cent_id, LIST(m ORDER BY d) AS mean FROM (
-        SELECT cell, d, SUM(x) / COUNT(*) AS m FROM (
-          SELECT cell, UNNEST(GENERATE_SERIES(1, LEN(v))) AS d,
-                 UNNEST(v) AS x
-          FROM {p}a{i})
-        GROUP BY cell, d)
-      GROUP BY cell
-    ), {p}c{i} AS (
-      SELECT cent_id,
-             LIST_TRANSFORM(mean, x -> x / SQRT(LIST_REDUCE(
-                 LIST_CONCAT([CAST(0 AS DOUBLE)],
-                             LIST_TRANSFORM(mean, y -> y * y)),
-                 (acc, y) -> acc + y))) AS cv
-      FROM {p}m{i}
-      UNION ALL
-      SELECT cent_id, cv FROM {p}c{i - 1}
-      WHERE cent_id NOT IN (SELECT cent_id FROM {p}m{i})
-    )"""
-
-
-def _train_ctes(
-    p: str, k_codes: int, iters: int, lo: int | None = None, hi: int | None = None
-) -> str:
-    """Points (full vector, or slice [lo, hi]) + md5 seed + unrolled
-    training chain for prefix ``p``; final centroids land in {p}c{iters}."""
-    vexpr = "v" if lo is None else f"LIST_SLICE(v, {lo}, {hi})"
-    head = f"""
-    , {p}pts AS (
-      SELECT vec_id AS _id, {vexpr} AS v FROM e
-    ), {p}c0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) - 1
-                  AS INT) AS cent_id,
-             v AS cv
-      FROM {p}pts
-      QUALIFY ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) <= {k_codes}
-    )"""
-    return head + "".join(_km_chain(p, i) for i in range(1, iters + 1))
+from .shared_sql import cos_sql as _cos_sql, train_ctes as _train_ctes
 
 
 def _encode_cte(p: str, iters: int) -> str:

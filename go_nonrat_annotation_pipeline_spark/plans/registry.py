@@ -61,8 +61,8 @@ def all_queries() -> dict[str, Q]:
     #         byte-unchanged since)
     # Everything after slot 50 holds an r2 or r3 green on byte-identical
     # content (see VERDICT.md round 3 + CORRECTNESS_r0{1,2,3}.json),
-    # EXCEPT the 26 round-4 additions at the very end (modules
-    # similarity_pq through sinks_r4 below) — never driver-attested,
+    # EXCEPT the round-4 additions at the very end (modules
+    # similarity_pq through queries_pii below) — never driver-attested,
     # tools/compare.py green at sf0.01 (and the registry-wide sf0.001
     # sweep) this round.
     # Round-5 rotation priority: (1) the 26 never-attested round-4
@@ -97,7 +97,9 @@ def all_queries() -> dict[str, Q]:
         queries_curation,
         # round-4 additions AFTER the window (never attested yet; all
         # verified by tools/compare.py; they lead the round-5 rotation
-        # together with the stale-r2 blocks listed above)
+        # together with the stale-r2 blocks listed above; semdedup/pii
+        # are the last-added pair — SemDeDup clustering dedup and PII
+        # scrub/report)
         queries_similarity_pq,
         queries_diff,
         queries_sketches_hist,
@@ -113,6 +115,8 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_enrich,
         queries_analytics_r4,
         queries_sinks_r4,
+        queries_semdedup,
+        queries_pii,
     )
 
     return dict(_REGISTRY)

@@ -89,3 +89,62 @@ def cos_sql(a: str, b: str) -> str:
        * SQRT(LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)],
              LIST_TRANSFORM({b}, x -> x * x)), (acc, x) -> acc + x)))
     """
+
+
+def km_chain(p: str, i: int) -> str:
+    """One Lloyd's step for subspace/run prefix ``p`` (CTEs {p}a{i} /
+    {p}m{i}/{p}c{i} against points CTE {p}pts) — the queries_similarity
+    _km_iteration shape, parametrized so independent chains coexist in
+    one statement. Mirrors operators/kmeans.kmeans_fit exactly: argmax
+    ties break on lower cent_id, per-dim mean then renormalize, empty
+    cells carry the previous centroid forward."""
+    return f"""
+    , {p}a{i} AS (
+      SELECT _id, v, cell FROM (
+        SELECT x._id, x.v, t.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY x._id
+                                  ORDER BY t.cos DESC, t.cent_id) AS rn
+        FROM {p}pts x, LATERAL (
+          SELECT cent_id, {cos_sql('x.v', 'cv')} AS cos FROM {p}c{i - 1}) t)
+      WHERE rn = 1
+    ), {p}m{i} AS (
+      SELECT cell AS cent_id, LIST(m ORDER BY d) AS mean FROM (
+        SELECT cell, d, SUM(x) / COUNT(*) AS m FROM (
+          SELECT cell, UNNEST(GENERATE_SERIES(1, LEN(v))) AS d,
+                 UNNEST(v) AS x
+          FROM {p}a{i})
+        GROUP BY cell, d)
+      GROUP BY cell
+    ), {p}c{i} AS (
+      SELECT cent_id,
+             LIST_TRANSFORM(mean, x -> x / SQRT(LIST_REDUCE(
+                 LIST_CONCAT([CAST(0 AS DOUBLE)],
+                             LIST_TRANSFORM(mean, y -> y * y)),
+                 (acc, y) -> acc + y))) AS cv
+      FROM {p}m{i}
+      UNION ALL
+      SELECT cent_id, cv FROM {p}c{i - 1}
+      WHERE cent_id NOT IN (SELECT cent_id FROM {p}m{i})
+    )"""
+
+
+def train_ctes(
+    p: str, k_codes: int, iters: int, lo: int | None = None, hi: int | None = None
+) -> str:
+    """Points (full vector, or slice [lo, hi], from a CTE named `e` with
+    columns vec_id/v) + md5 seed + unrolled kmeans training chain for
+    prefix ``p``; final centroids land in {p}c{iters}. Shared by the PQ
+    family (per-subspace codebooks) and semantic dedup (one full-vector
+    chain)."""
+    vexpr = "v" if lo is None else f"LIST_SLICE(v, {lo}, {hi})"
+    head = f"""
+    , {p}pts AS (
+      SELECT vec_id AS _id, {vexpr} AS v FROM e
+    ), {p}c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) - 1
+                  AS INT) AS cent_id,
+             v AS cv
+      FROM {p}pts
+      QUALIFY ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) <= {k_codes}
+    )"""
+    return head + "".join(km_chain(p, i) for i in range(1, iters + 1))
