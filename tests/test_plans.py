@@ -228,3 +228,21 @@ def test_pq_queries_no_python_nodes(spark, registry):
     (the kernel twin opts into Arrow explicitly)."""
     p = plan(registry["sim_pq_adc"].spark(spark, SF))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pii_scrub_pure_map_side(spark, registry):
+    """PII scrub: zero exchanges, zero joins, zero Python nodes — a
+    narrow regex projection that fuses into the scan stage."""
+    p = plan(registry["q_pii_redact"].spark(spark, SF))
+    assert p.count(") Exchange") == 0
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_semdedup_pairs_are_cell_equi_join(spark, registry):
+    """SemDeDup's pairwise pass must be an equi-join on the cluster id
+    (hash-partitionable), never a cartesian/nested-loop pass."""
+    p = plan(registry["q_semdedup_drops"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "cell" in p

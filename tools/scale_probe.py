@@ -446,6 +446,37 @@ def main():
         n_li,
     )
 
+    # SemDeDup: centroids trained once outside the timer (production
+    # trains on a sample and reuses); the per-corpus cost is map-side
+    # assignment + the within-cell pair pass. k grows with the corpus so
+    # cell size stays bounded (~128 here, the paper's regime scaled
+    # down) — per-corpus pair work is then N×cell/2, linear in N as
+    # mult doubles because k doubles with it.
+    from go_nonrat_annotation_pipeline_spark.operators import semdedup as SD
+
+    sd_k = max(16, n_emb // 128)
+    sd_cents = kmeans_fit(
+        emb, k=sd_k, max_iter=2, early_stop=False, assign_kernel=True
+    ).localCheckpoint()
+    timed(
+        f"semdedup_drops(k={sd_k})",
+        lambda: SD.semdedup_drops(
+            SD.semdedup_assign(emb, sd_cents, assign_kernel=True), 0.45
+        ).count(),
+        n_emb,
+    )
+
+    # PII scrub: pure map-side regex scan — the reference linear row
+    from go_nonrat_annotation_pipeline_spark.operators import pii as PII
+
+    timed(
+        "pii_scrub(4 classes)",
+        lambda: PII.pii_scrub(docs)
+        .where(F.col("n_email") + F.col("n_ip") >= 0)
+        .count(),
+        n_docs,
+    )
+
 
 if __name__ == "__main__":
     main()
