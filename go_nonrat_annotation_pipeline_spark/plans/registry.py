@@ -117,6 +117,7 @@ def all_queries() -> dict[str, Q]:
         queries_sinks_r4,
         queries_semdedup,
         queries_pii,
+        queries_corpus_e2e,
     )
 
     return dict(_REGISTRY)

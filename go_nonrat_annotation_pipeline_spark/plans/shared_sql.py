@@ -24,10 +24,15 @@ SH = H.sql_shingle_hashes(H.sql_word_hashes(WORDS))
 SH2 = H.sql_shingle_hashes(H.sql_word_hashes(WORDS), 2)
 
 # shared CTE body producing verified near-dup pairs (reused by the
-# pair query and the connected-components clustering queries)
-PAIR_CTES = f"""
+# pair query, the connected-components clustering queries, and — via
+# the parametrized form — the corpus-curation E2E, which runs the pair
+# stage over an intermediate CTE instead of the raw documents table)
+def pair_ctes(src: str = "documents") -> str:
+    """Verified near-dup pair CTEs over ``src`` (needs doc_id, text);
+    defines shd/docs/bands/cand/ver — avoid those CTE names around it."""
+    return f"""
     shd AS (
-      SELECT doc_id, LIST_DISTINCT({SH}) AS sh FROM documents
+      SELECT doc_id, LIST_DISTINCT({SH}) AS sh FROM {src}
     ), docs AS (
       SELECT doc_id, sh, {H.sql_minhash_signature('sh')} AS sig
       FROM shd WHERE LEN(sh) > 0
@@ -46,6 +51,9 @@ PAIR_CTES = f"""
                / (LEN(x.sh) + LEN(y.sh) - LEN(LIST_FILTER(x.sh, s -> LIST_CONTAINS(y.sh, s)))) AS j
       FROM cand JOIN docs x ON x.doc_id = cand.id_a JOIN docs y ON y.doc_id = cand.id_b
     )"""
+
+
+PAIR_CTES = pair_ctes()
 
 
 def sql_simhash(bits: int = 32) -> str:
