@@ -61,6 +61,9 @@ EXTENDED = [
     "dedup_incremental",
     "q_hist_quantile_state",
     "q_snapshot_diff_counts",
+    "q_semdedup_drops",
+    "q_pii_redact",
+    "corpus_curation_e2e",
 ]
 
 

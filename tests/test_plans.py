@@ -246,3 +246,13 @@ def test_semdedup_pairs_are_cell_equi_join(spark, registry):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "cell" in p
+
+
+def test_corpus_e2e_no_cartesian_no_python(spark, registry):
+    """The composed funnel must keep every stage's bounded-candidate
+    shape: no nested-loop/cartesian pass anywhere in the fused plan,
+    and nothing falls back to Python evaluation."""
+    p = plan(registry["corpus_curation_e2e"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
