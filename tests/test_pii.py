@@ -55,3 +55,43 @@ def test_flag_column(spark):
         .collect()
     )
     assert [r.flag for r in rows] == [1, 0]
+
+
+def test_planted_pii_batch_matches_re_reference(spark):
+    """200 pseudo-random docs with planted PII; Spark's counts must
+    match an independent Python `re` count and the redacted text must
+    contain no residual matches (one Spark pass, no per-example jobs)."""
+    import re as _re
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = []
+    for i in range(200):
+        toks = [words[(i * 7 + j) % len(words)] for j in range(i % 9 + 1)]
+        if i % 3 == 0:
+            toks.append(f"u{i}@host{i % 5}.net")
+        if i % 4 == 1:
+            toks.append(f"{i % 250}.{(i * 3) % 250}.7.{(i * 11) % 250}")
+        if i % 5 == 2:
+            toks.append(f"{100 + i % 900}-{10 + i % 90}-{1000 + i % 9000}")
+        if i % 7 == 3:
+            toks.append(f"{100 + i % 900}-{100 + i % 900}-{1000 + i % 9000}")
+        rows.append((i, " ".join(toks)))
+
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r.i: r for r in P.pii_scrub(df).collect()}
+    pats = {n: _re.compile(p) for n, p, _ in P.DEFAULT_PATTERNS}
+    for i, text in rows:
+        r = got[i]
+        # counts agree with the sequential-application reference: each
+        # class counted on the text with earlier classes already redacted
+        remaining = text
+        for name, pat, repl in P.DEFAULT_PATTERNS:
+            assert r[f"n_{name}"] == len(pats[name].findall(remaining)), (
+                i,
+                name,
+                text,
+            )
+            remaining = pats[name].sub(repl, remaining)
+        assert r.redacted == remaining, (i, text)
+        for name, rx in pats.items():
+            assert not rx.search(r.redacted), (i, name, r.redacted)
