@@ -64,6 +64,7 @@ EXTENDED = [
     "q_semdedup_drops",
     "q_pii_redact",
     "corpus_curation_e2e",
+    "corpus_refresh_e2e",
 ]
 
 

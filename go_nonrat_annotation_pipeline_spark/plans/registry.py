@@ -118,6 +118,7 @@ def all_queries() -> dict[str, Q]:
         queries_semdedup,
         queries_pii,
         queries_corpus_e2e,
+        queries_refresh_e2e,
     )
 
     return dict(_REGISTRY)
