@@ -1,0 +1,119 @@
+"""Float-discipline lint over the whole query registry.
+
+The only correctness failures the engine has ever had at the driver's
+hash boundary (rounds 1-3) were raw DOUBLE / unstable-typed columns in
+a final projection (VERDICT.md round 3 "What's wrong"). The registry
+docstring's rule — aggregates over doubles computed in DECIMAL, floats
+only when ROUND()ed identically on both engines — is enforced here
+mechanically: every registered query's OUTPUT schema may contain
+floating-point columns only if (query, column) appears in the AUDITED
+map below with one of the three hash-stable classes (rounded /
+decimal-cast / passthrough — see the map's comment). Anything else —
+above all a float aggregate over doubles — fails the lint before it
+can fail a driver round.
+
+Usage: python tools/float_lint.py [sf_dir]   (default sf0.001)
+Exit code 1 on any unaudited float column.
+
+Building a DataFrame is enough to see its schema; queries with eager
+driver-side stages (k-means training, streaming drains) do run work,
+so the lint takes a few minutes — run it per-round, not per-test.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql.types import DoubleType, FloatType  # noqa: E402
+
+from go_nonrat_annotation_pipeline_spark.plans.registry import all_queries  # noqa: E402
+from go_nonrat_annotation_pipeline_spark.session import get_spark  # noqa: E402
+
+# (query, column) → audited hash-stability class:
+#   rounded      — ROUND(x, 6) of identically-computed expressions on
+#                  both engines (same fold order → same double → same
+#                  rounded value)
+#   decimal-cast — computed EXACTLY in DECIMAL, cast to double only in
+#                  the final projection (one deterministic conversion)
+#   passthrough  — a raw input value carried untouched from parquet
+#                  (incl. discrete percentiles, which PICK raw values)
+# The forbidden class — which this lint exists to catch — is a float
+# AGGREGATE over doubles (SUM/AVG of double), whose value depends on
+# partition-local accumulation order.
+AUDITED = {
+    ("dedup_minhash_lsh", "jaccard"): "rounded",
+    ("dedup_ngram_jaccard", "jaccard"): "rounded",
+    ("dedup_embedding_cosine", "cosine"): "rounded",
+    ("dedup_embedding_bucketed", "cosine"): "rounded",
+    ("dedup_embedding_bucketed_kernel", "cosine"): "rounded",
+    ("dedup_incremental", "jaccard"): "rounded",
+    ("stream_incremental_dedup", "jaccard"): "rounded",
+    ("sim_topk_bruteforce", "cosine"): "rounded",
+    ("sim_lsh_ann", "cosine"): "rounded",
+    ("sim_lsh_multitable", "cosine"): "rounded",
+    ("sim_ivf_ann", "cosine"): "rounded",
+    ("sim_ivf_trained", "cosine"): "rounded",
+    ("sim_ivf_trained_kernel", "cosine"): "rounded",
+    ("sim_pq_adc", "adc_score"): "rounded",
+    ("sim_pq_adc_kernel", "adc_score"): "rounded",
+    ("sim_pq_rerank", "cosine"): "rounded",
+    ("sim_ivf_pq", "cosine"): "rounded",
+    ("q_semdedup_drops", "cosine"): "rounded",
+    ("q_tfidf_topterms", "tfidf"): "rounded",
+    ("q_bm25_search", "bm25"): "rounded",
+    ("q_bm25_multi", "bm25"): "rounded",
+    ("text_quality_score", "avg_token_len"): "rounded",
+    ("text_quality_score", "stopword_ratio"): "rounded",
+    ("text_quality_score", "punct_ratio"): "rounded",
+    ("q1_pricing_summary", "sum_qty"): "decimal-cast",
+    ("q1_pricing_summary", "sum_base_price"): "decimal-cast",
+    ("q1_pricing_summary", "sum_disc_price"): "decimal-cast",
+    ("q5_multiway_join_agg", "revenue"): "decimal-cast",
+    ("q_rollup_status_priority", "total_price"): "decimal-cast",
+    ("s3_scan_project_filter", "l_extendedprice"): "passthrough",
+    ("s4_prefilter_scan", "value"): "passthrough",
+    ("j07_evidence_gate", "value"): "passthrough",
+    ("w1_topk_per_group", "o_totalprice"): "passthrough",
+    ("q_global_topk", "o_totalprice"): "passthrough",
+    ("q_percentile_disc", "p50"): "passthrough",
+    ("q_percentile_disc", "p90"): "passthrough",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("float_lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad: list[tuple[str, str, str]] = []
+    audited_seen = set()
+    qs = all_queries()
+    for name, q in qs.items():
+        try:
+            schema = q.spark(spark, sf_dir).schema
+        except Exception as e:  # noqa: BLE001 — report, don't abort the lint
+            bad.append((name, "<build failed>", repr(e)[:120]))
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (DoubleType, FloatType)):
+                if (name, f.name) in AUDITED:
+                    audited_seen.add((name, f.name))
+                else:
+                    bad.append((name, f.name, str(f.dataType)))
+    stale = set(AUDITED) - audited_seen
+    for name, col in sorted(stale):
+        print(f"STALE ALLOWLIST {name}.{col} (column no longer emitted)")
+    for name, col, t in bad:
+        print(f"UNAUDITED FLOAT {name}.{col}: {t}")
+    print(
+        f"{len(qs)} queries checked; {len(audited_seen)} audited float "
+        f"columns; {len(bad)} violations; {len(stale)} stale allowlist rows"
+    )
+    return 1 if bad or stale else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
