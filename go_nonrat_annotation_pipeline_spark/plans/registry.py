@@ -97,9 +97,11 @@ def all_queries() -> dict[str, Q]:
         queries_curation,
         # round-4 additions AFTER the window (never attested yet; all
         # verified by tools/compare.py; they lead the round-5 rotation
-        # together with the stale-r2 blocks listed above; semdedup/pii
-        # are the last-added pair — SemDeDup clustering dedup and PII
-        # scrub/report)
+        # together with the stale-r2 blocks listed above; the final four
+        # modules — semdedup, pii, corpus_e2e, refresh_e2e — are the
+        # late-round-4 families: SemDeDup clustering dedup, PII
+        # scrub/report, and the two flagship composites (curation funnel
+        # E2E, day-2 refresh CDC+admission E2E))
         queries_similarity_pq,
         queries_diff,
         queries_sketches_hist,
