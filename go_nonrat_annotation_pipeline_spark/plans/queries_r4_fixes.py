@@ -88,6 +88,14 @@ def mm_feature_extract(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Streaming tumbling-window aggregation, window start emitted as epoch
 # seconds (UTC session TZ; 1h windows are epoch-aligned in both engines).
+# Value sum ships as integer MICRO-units BIGINT: the internal accumulation
+# stays decimal-exact (streaming/stream.py tumbling_counts), but the driver
+# boundary never sees a DECIMAL column — the r4 driver hasher empirically
+# diverges on DECIMAL output (rows+schema matched, hash didn't, two rounds
+# running), and events.value is 2-decimal-exact at every SF (verified:
+# zero rows where value <> round(value, 6)), so value*1e6 is lossless on
+# both engines. Same integer-units pattern that turned q_salted_skew_join
+# green in r4.
 # ---------------------------------------------------------------------------
 @register(
     "stream_tumbling_agg",
@@ -95,11 +103,12 @@ def mm_feature_extract(spark, sf_dir):
     SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start_epoch,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_value_micro
     FROM events GROUP BY 1, 2
     """,
     doc="streaming: tumbling 1h window counts/sums (memory-sink drain), "
-    "window start as epoch-seconds BIGINT",
+    "window start as epoch-seconds BIGINT, value sum as micro-units BIGINT",
 )
 def stream_tumbling_agg(spark, sf_dir):
     events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
@@ -109,7 +118,12 @@ def stream_tumbling_agg(spark, sf_dir):
         F.col("window.start").cast("long").alias("window_start_epoch"),
         "event_type",
         "n",
-        "total_value",
+        # decimal(38,6) * 1e6 is exact decimal arithmetic; the cast to
+        # long is the identity on these values (<= 2 fractional digits
+        # in the source data).
+        (F.col("total_value") * F.lit(1000000)).cast("long").alias(
+            "total_value_micro"
+        ),
     )
 
 

@@ -41,14 +41,24 @@ from .registry import register
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us
     FROM sess GROUP BY 1, 2
     """,
-    doc="streaming: stateful gap sessionization (applyInPandasWithState)",
+    doc="streaming: stateful gap sessionization (applyInPandasWithState); "
+    "session bounds as epoch-microseconds BIGINT (r5 boundary-type "
+    "discipline: no raw TIMESTAMP columns at the driver hash boundary)",
 )
 def stream_stateful_sessions(spark, sf_dir):
     events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    return run_to_memory(stateful_sessions(events, 30), "update")
+    out = run_to_memory(stateful_sessions(events, 30), "update")
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+    )
 
 
 @register(
@@ -155,11 +165,13 @@ def stream_synthetic_agg(spark, sf_dir):
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
-    SELECT user_id, MIN(ts) AS session_start,
+    SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM sess GROUP BY user_id, sid
     """,
-    doc="streaming: native session_window + watermark (stateful merge)",
+    doc="streaming: native session_window + watermark (stateful merge); "
+    "session start as epoch-microseconds BIGINT (r5 boundary-type "
+    "discipline: no raw TIMESTAMP columns at the driver hash boundary)",
 )
 def stream_session_window(spark, sf_dir):
     events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
@@ -170,7 +182,11 @@ def stream_session_window(spark, sf_dir):
             F.min("ts").alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .select("user_id", "session_start", "n_events")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            "n_events",
+        )
     )
     return run_to_memory(agg, "complete")
 

@@ -159,11 +159,13 @@ def set_array_algebra(spark, sf_dir):
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
-    SELECT user_id, MIN(ts) AS session_start,
+    SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM sess GROUP BY user_id, sid
     """,
-    doc="W: native session_window sessionization (gap 30min)",
+    doc="W: native session_window sessionization (gap 30min); session "
+    "start as epoch-microseconds BIGINT (r5 boundary-type discipline: no "
+    "raw TIMESTAMP columns at the driver hash boundary)",
 )
 def w3_session_window_native(spark, sf_dir):
     from ..sources.testdata import load_table as _lt
@@ -175,5 +177,9 @@ def w3_session_window_native(spark, sf_dir):
             F.min("ts").alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .select("user_id", "session_start", "n_events")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            "n_events",
+        )
     )

@@ -28,7 +28,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql.types import DoubleType, FloatType  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    MapType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from go_nonrat_annotation_pipeline_spark.plans.registry import all_queries  # noqa: E402
 from go_nonrat_annotation_pipeline_spark.session import get_spark  # noqa: E402
@@ -44,6 +52,24 @@ from go_nonrat_annotation_pipeline_spark.session import get_spark  # noqa: E402
 # The forbidden class — which this lint exists to catch — is a float
 # AGGREGATE over doubles (SUM/AVG of double), whose value depends on
 # partition-local accumulation order.
+#
+# Separately, three whole TYPE classes are banned outright in any final
+# projection, with NO allowlist — the empirical driver-boundary rule
+# (VERDICT.md round 4 "What's wrong" #2): the driver's hasher diverges
+# on DECIMAL output columns even when rows+schema+values all agree
+# (stream_tumbling_agg, red two rounds on a value-identical
+# DECIMAL(38,6) column), and arrays/timestamps were the r3 offender
+# classes. DECIMAL is still the REQUIRED internal representation for
+# exact aggregation — it just must be converted (integer micro-units
+# BIGINT, or a double via one deterministic cast) before the boundary.
+BANNED_BOUNDARY_TYPES = (
+    DecimalType,
+    ArrayType,
+    MapType,
+    TimestampType,
+    TimestampNTZType,
+)
+
 AUDITED = {
     ("dedup_minhash_lsh", "jaccard"): "rounded",
     ("dedup_ngram_jaccard", "jaccard"): "rounded",
@@ -103,6 +129,10 @@ def main() -> int:
                     audited_seen.add((name, f.name))
                 else:
                     bad.append((name, f.name, str(f.dataType)))
+            elif isinstance(f.dataType, BANNED_BOUNDARY_TYPES):
+                # No allowlist for these: empirically the driver hasher
+                # diverges on them even when both engines' VALUES agree.
+                bad.append((name, f.name, f"BANNED {f.dataType}"))
     stale = set(AUDITED) - audited_seen
     for name, col in sorted(stale):
         print(f"STALE ALLOWLIST {name}.{col} (column no longer emitted)")
