@@ -21,10 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # (class name, pattern, replacement) — applied in list order. Classes
-# are format-disjoint (email has '@'; ip is dotted digits; ssn is
-# 3-2-4 dashed; phone is 3-3-4 dashed) so application order cannot
-# create or destroy later matches, and per-class counts taken on the
-# ORIGINAL text equal counts taken sequentially.
+# are MOSTLY format-disjoint (email has '@'; ip is dotted digits; ssn
+# is 3-2-4 dashed; phone is 3-3-4 dashed), but overlaps are possible in
+# pathological text ('u@10.1.2.3.org' holds an IP inside an email
+# match), so each class is COUNTED on the progressively-redacted text —
+# the text with all earlier classes already replaced — exactly matching
+# what redaction replaces. Placeholders contain no digits or '@', so a
+# replacement can never CREATE a later-class match.
 DEFAULT_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
@@ -40,17 +43,16 @@ def pii_scrub(
     out_col: str = "redacted",
 ) -> DataFrame:
     """Add one `n_<class>` BIGINT count per PII class (matched against
-    the original text) and `out_col`, the text with every match
+    the text with all EARLIER classes already redacted, so counts equal
+    replacements made) and `out_col`, the text with every match
     replaced by the class placeholder, classes applied in order."""
     pats = DEFAULT_PATTERNS if patterns is None else patterns
     out = df
-    for name, pat, _ in pats:
-        out = out.withColumn(
-            f"n_{name}",
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint"),
-        )
     red: Column = F.col(text_col)
-    for _, pat, repl in pats:
+    for name, pat, repl in pats:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(red, F.lit(pat)).cast("bigint")
+        )
         red = F.regexp_replace(red, pat, repl)
     return out.withColumn(out_col, red)
 
@@ -65,13 +67,19 @@ def pii_flag(patterns: list[tuple[str, str, str]] | None = None) -> Column:
 
 
 def sql_pii_counts(text_expr: str, patterns=None) -> str:
-    """DuckDB projection fragment mirroring pii_scrub's count columns."""
+    """DuckDB projection fragment mirroring pii_scrub's count columns
+    (each class counted on the progressively-redacted text, matching
+    the Spark side)."""
     pats = DEFAULT_PATTERNS if patterns is None else patterns
-    return ",\n".join(
-        f"CAST(LEN(REGEXP_EXTRACT_ALL({text_expr}, '{pat}')) AS BIGINT)"
-        f" AS n_{name}"
-        for name, pat, _ in pats
-    )
+    frags = []
+    expr = text_expr
+    for name, pat, repl in pats:
+        frags.append(
+            f"CAST(LEN(REGEXP_EXTRACT_ALL({expr}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        expr = f"REGEXP_REPLACE({expr}, '{pat}', '{repl}', 'g')"
+    return ",\n".join(frags)
 
 
 def sql_pii_redact(text_expr: str, patterns=None) -> str:

@@ -173,6 +173,9 @@ def all_queries() -> dict[str, Q]:
         queries_pii,
         queries_corpus_e2e,
         queries_refresh_e2e,
+        # round-5 additions (after the window; lead the round-6
+        # rotation together with the r2-stale tail listed above)
+        queries_bpe_batched,
     )
 
     missing = [n for n in WINDOW_R5 if n not in _REGISTRY]

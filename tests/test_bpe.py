@@ -60,3 +60,69 @@ def test_iterations_touch_dictionary_not_corpus(spark):
     sym = B.init_symbols(wf)
     merged = B.merge_pair(sym, "s", "p")
     assert merged.count() == 3  # still one row per word
+
+
+def test_batched_top_m_1_equals_classical(spark):
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = _docs(spark, text)
+    classical = B.bpe_train(docs, n_merges=3)
+    batched = B.bpe_train_batched(docs, n_rounds=3, top_m=1)
+    assert [(l, r, c) for _, l, r, c in batched] == [
+        (l, r, c) for _, l, r, c in classical
+    ]
+    # round numbers are sequential when every round merges one pair
+    assert [rnd for rnd, *_ in batched] == [1, 2, 3]
+
+
+def test_select_rank_disjoint_rule():
+    ranked = [
+        ("e", "s", 9),   # rank 1: always kept
+        ("s", "t", 8),   # shares 's' with rank 1 -> out
+        ("l", "o", 7),   # disjoint from ALL above -> kept
+        ("o", "w", 6),   # shares 'o' with rank 3 -> out
+        ("t", "w", 5),   # shares 't' w/ rank2, 'w' w/ rank4: rule is
+                         # "disjoint from all higher-RANKED" -> out
+        ("a", "b", 4),   # disjoint from all above -> kept
+    ]
+    sel = B.select_rank_disjoint(ranked)
+    assert sel == [("e", "s", 9), ("l", "o", 7), ("a", "b", 4)]
+
+
+def test_merge_pairs_equals_sequential_merge_pair(spark):
+    text = " ".join(["low"] * 5 + ["newest"] * 6 + ["aaaa"] * 2)
+    sym = B.init_symbols(B.word_freqs(_docs(spark, text)))
+    pairs = [("e", "s"), ("l", "o"), ("a", "a")]
+    got = {
+        r.word: list(r.syms)
+        for r in B.merge_pairs(sym, pairs).collect()
+    }
+    seq = sym
+    for l, r in pairs:
+        seq = B.merge_pair(seq, l, r)
+    want = {r.word: list(r.syms) for r in seq.collect()}
+    assert got == want
+    assert got["aaaa"] == ["aa", "aa", "</w>"]  # self-pair parity kept
+
+
+def test_merge_pairs_rejects_overlapping_symbols(spark):
+    import pytest
+
+    sym = B.init_symbols(B.word_freqs(_docs(spark, "abc")))
+    with pytest.raises(ValueError, match="symbol-disjoint"):
+        B.merge_pairs(sym, [("a", "b"), ("b", "c")])
+
+
+def test_batched_merges_rank1_every_round(spark):
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = _docs(spark, text)
+    batched = B.bpe_train_batched(docs, n_rounds=2, top_m=8)
+    by_round: dict[int, list] = {}
+    for rnd, l, r, c in batched:
+        by_round.setdefault(rnd, []).append((l, r, c))
+    # round 1's first selection is classical BPE's first merge
+    assert by_round[1][0] == ("e", "s", 9)
+    # within a round, selected pairs are pairwise symbol-disjoint
+    for sel in by_round.values():
+        for i, (l1, r1, _) in enumerate(sel):
+            for l2, r2, _ in sel[i + 1 :]:
+                assert not ({l1, r1} & {l2, r2})

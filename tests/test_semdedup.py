@@ -37,10 +37,11 @@ def test_drops_match_bruteforce_within_cells(spark):
     for cell, vecs in by_cell.items():
         vecs.sort()
         for j, (vid, v) in enumerate(vecs):
+            # Same unadjusted threshold as semdedup_drops — an epsilon
+            # here would admit pairs in [TAU-eps, TAU) that the operator
+            # (correctly) excludes and fail the equality spuriously.
             keepers = [
-                (uid, cos(u, v))
-                for uid, u in vecs[:j]
-                if cos(u, v) >= TAU - 1e-9
+                (uid, cos(u, v)) for uid, u in vecs[:j] if cos(u, v) >= TAU
             ]
             if keepers:
                 expected[vid] = (cell, min(k for k, _ in keepers))

@@ -433,6 +433,41 @@ def main():
         lambda: len(B.bpe_train(docs, n_merges=2)),
         n_docs,
     )
+    # vocab-scale driver-loop bound (VERDICT r4 watch item): 64 merges
+    # classical = 64 sequential collect+rewrite jobs vs batched =
+    # rounds ≈ 64/realized-batch. Compares the two forms at the SAME
+    # merge budget: batched runs rounds until >= 64 merges selected.
+    timed(
+        "bpe_train(64 merges)",
+        lambda: len(B.bpe_train(docs, n_merges=64)),
+        n_docs,
+    )
+
+    def _batched_until(target: int, top_m: int = 16) -> int:
+        sym = B.init_symbols(B.word_freqs(docs)).localCheckpoint()
+        done = 0
+        while done < target:
+            ranked = [
+                (r.l, r.r, int(r.pair_cnt))
+                for r in B.pair_counts(sym)
+                .orderBy(F.desc("pair_cnt"), F.asc("l"), F.asc("r"))
+                .limit(top_m)
+                .collect()
+            ]
+            sel = B.select_rank_disjoint(ranked)
+            if not sel:
+                break
+            done += len(sel)
+            sym = B.merge_pairs(
+                sym, [(l, r) for l, r, _ in sel]
+            ).localCheckpoint()
+        return done
+
+    timed(
+        "bpe_batched(64 merges,m=16)",
+        lambda: _batched_until(64),
+        n_docs,
+    )
 
     # z-order key: pure map-side bit interleave
     timed(
