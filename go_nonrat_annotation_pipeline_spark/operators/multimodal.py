@@ -3,14 +3,19 @@
 Images/audio/video are opaque `binary` columns with typed metadata.
 The Spark-side plumbing is real — binary columns, Arrow-batched
 mapInPandas with explicit output schemas, partition-parallel — while the
-actual media decode is STUBBED deterministically (the decode libraries
-are not in this container): `decode_stub=True` derives metadata from the
-byte stream itself; `decode_stub=False` raises NotImplementedError where
-a real libjpeg/ffmpeg call would go.
+actual media decode is STUBBED deterministically when the decode
+libraries are absent (this container has none): `decode_stub=True`
+derives metadata from the byte stream itself; `decode_stub=False`
+RUNTIME-DETECTS a codec (Pillow) and decodes for real when one is
+importable, raising NotImplementedError only when it isn't. The
+per-batch kernels are plain pandas functions so the real-codec path is
+unit-testable with an injected fake codec without shipping one to the
+executors (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -20,6 +25,57 @@ from pyspark.sql import functions as F
 DECODE_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, n_frames int"
 )
+
+
+def image_codec():
+    """Runtime codec detection: Pillow's Image module when importable
+    (evaluated on each executor at first batch — workers that have the
+    lib decode for real), else None (callers fall back to the stub or
+    raise, per their decode_stub flag)."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — probe is the point
+
+        return Image
+    except Exception:
+        return None
+
+
+def _decode_batch(pdf: pd.DataFrame, decode_stub: bool, codec=None) -> pd.DataFrame:
+    """Per-Arrow-batch decode kernel (pure pandas, executor-side)."""
+    n_bytes = pdf["media"].map(len)
+    if decode_stub:
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": n_bytes % 640,
+                "height": (n_bytes * 7) % 480,
+                "n_frames": n_bytes // 100 + 1,
+            }
+        )
+    codec = codec if codec is not None else image_codec()
+    if codec is None:
+        raise NotImplementedError(
+            "real media decode requires an image codec (Pillow) that is "
+            "not importable in this environment; run with "
+            "decode_stub=True"
+        )
+    ws, hs, fs = [], [], []
+    for buf in pdf["media"]:
+        im = codec.open(io.BytesIO(buf))
+        w, h = im.size
+        ws.append(w)
+        hs.append(h)
+        fs.append(int(getattr(im, "n_frames", 1)))
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n_bytes,
+            "width": ws,
+            "height": hs,
+            "n_frames": fs,
+        }
+    )
 
 
 def to_binary_docs(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "text") -> DataFrame:
@@ -33,28 +89,16 @@ def to_binary_docs(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "
 def decode_metadata(media_df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Arrow-batched 'decode': binary column → typed metadata columns.
 
-    mapInPandas so each Arrow batch is decoded in one vectorized pass —
-    the exact shape a real image/audio decoder plugs into (swap the stub
-    body for PIL/ffmpeg; schema, batching and partitioning are unchanged).
+    mapInPandas so each Arrow batch is decoded in one vectorized pass.
+    With decode_stub=False the codec is runtime-detected PER EXECUTOR
+    (image_codec()): environments that ship Pillow decode for real with
+    no code change; environments without it raise with a clear message.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = None if decode_stub else image_codec()
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libs not present "
-                    "in this environment; run with decode_stub=True"
-                )
-            n_bytes = pdf["media"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes,
-                    "width": n_bytes % 640,
-                    "height": (n_bytes * 7) % 480,
-                    "n_frames": n_bytes // 100 + 1,
-                }
-            )
+            yield _decode_batch(pdf, decode_stub, codec)
 
     return media_df.mapInPandas(decode, schema=DECODE_SCHEMA)
 
@@ -70,37 +114,54 @@ def resize_images(
 ) -> DataFrame:
     """Arrow-batched 'resize': binary media → target-bounded dimensions.
 
-    Real pipelines decode + resample pixels here (PIL/opencv); the stub
-    derives source dims from the byte stream (same rule as
-    decode_metadata) and computes the letterboxed output size with exact
-    integer arithmetic (scale = target / max(w, h), kept as a ratio so
-    the oracle can reproduce it without float divergence).
+    Real pipelines decode + resample pixels here; with
+    decode_stub=False the source dimensions come from the
+    runtime-detected codec (image_codec()) and the same exact-integer
+    letterbox arithmetic applies (scale = target / max(w, h), kept as a
+    ratio so the oracle can reproduce it without float divergence). The
+    stub derives source dims from the byte stream (same rule as
+    decode_metadata).
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = None if decode_stub else image_codec()
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires image libs not present in this "
-                    "environment; run with decode_stub=True"
-                )
-            n = pdf["media"].map(len)
-            w = (n % 640).astype("int64") + 1
-            h = ((n * 7) % 480).astype("int64") + 1
-            longest = w.where(w >= h, h)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": w,
-                    "height": h,
-                    "out_width": (w * target) // longest,
-                    "out_height": (h * target) // longest,
-                    "scale_num": target,
-                    "scale_den": longest,
-                }
-            )
+            yield _resize_batch(pdf, target, decode_stub, codec)
 
     return media_df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def _resize_batch(
+    pdf: pd.DataFrame, target: int, decode_stub: bool, codec=None
+) -> pd.DataFrame:
+    """Per-Arrow-batch resize kernel (pure pandas, executor-side)."""
+    if decode_stub:
+        n = pdf["media"].map(len)
+        w = (n % 640).astype("int64") + 1
+        h = ((n * 7) % 480).astype("int64") + 1
+    else:
+        codec = codec if codec is not None else image_codec()
+        if codec is None:
+            raise NotImplementedError(
+                "real resize requires an image codec (Pillow) that is "
+                "not importable in this environment; run with "
+                "decode_stub=True"
+            )
+        dims = [codec.open(io.BytesIO(buf)).size for buf in pdf["media"]]
+        w = pd.Series([d[0] for d in dims], index=pdf.index, dtype="int64")
+        h = pd.Series([d[1] for d in dims], index=pdf.index, dtype="int64")
+    longest = w.where(w >= h, h)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "width": w,
+            "height": h,
+            "out_width": (w * target) // longest,
+            "out_height": (h * target) // longest,
+            "scale_num": target,
+            "scale_den": longest,
+        }
+    )
 
 
 N_FEATURES = 8
@@ -120,6 +181,10 @@ def extract_features(media_df: DataFrame, decode_stub: bool = True) -> DataFrame
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
+                # unlike decode/resize there is no light-weight codec to
+                # runtime-detect — a real encoder (torch/onnx vision
+                # model) plugs in here; until one ships, only the stub
+                # path runs
                 raise NotImplementedError(
                     "real feature extraction requires encoder libs not present "
                     "in this environment; run with decode_stub=True"

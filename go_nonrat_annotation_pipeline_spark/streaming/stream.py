@@ -329,6 +329,114 @@ def incremental_dedup_stream(
     )
 
 
+def incremental_dedup_stream_durable(
+    doc_stream: DataFrame,
+    initial_store: DataFrame,
+    store_dir: str,
+    flags_dir: str,
+    checkpoint_loc: str,
+    verify_threshold: float = 0.7,
+) -> None:
+    """Restart-safe incremental dedup: the accumulating SIGNATURE store
+    and the flagged pairs are parquet artifacts on disk, partitioned by
+    the admitting micro-batch id.
+
+    Recovery contract (the exactly-once posture of the foreachBatch →
+    MERGE bridge, applied to an accumulating store):
+
+    - The checkpoint logs a batch's offsets BEFORE foreachBatch runs, so
+      after a kill the SAME batch id is re-delivered on restart. Both
+      writers are therefore idempotent per batch: each batch writes to
+      its own ``admit_batch=<id>`` / ``batch=<id>`` partition directory
+      with mode("overwrite"), so a reprocessed batch replaces whatever
+      a half-finished first attempt left behind — no duplicated
+      admissions, no duplicated flags.
+    - The store side of batch N's band join reads only partitions with
+      ``admit_batch < N`` — exactly the pre-batch store even when a
+      dirty ``admit_batch=N`` partition survives the crash.
+    - Admissions can't be LOST either: a batch is only marked committed
+      (checkpoint commit log) after foreachBatch returns, i.e. after
+      its partition is fully written.
+
+    The caller owns the three directories; run-to-drain the stream and
+    read ``flags_dir`` / ``store_dir`` for results
+    (tests/test_streaming.py kills between and inside micro-batches and
+    asserts the invariants above; the in-memory variant
+    :func:`incremental_dedup_stream` is the oracle-attested query
+    shape).
+    """
+    import os
+
+    from ..operators.dedup import minhash_signatures
+
+    spark = doc_stream.sparkSession
+    seed_dir = os.path.join(store_dir, "admit_batch=-1")
+    if not os.path.isdir(seed_dir):
+        minhash_signatures(
+            initial_store.select("doc_id", "text")
+        ).write.mode("overwrite").parquet(seed_dir)
+
+    q = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_loc)
+        .foreachBatch(
+            _incdedup_make_handler(
+                spark, store_dir, flags_dir, verify_threshold
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _incdedup_make_handler(
+    spark, store_dir: str, flags_dir: str, verify_threshold: float
+):
+    """The per-batch handler of :func:`incremental_dedup_stream_durable`
+    (factored out so the restart-recovery test can wrap it with a
+    simulated mid-batch crash)."""
+    import os
+
+    from ..operators.dedup import incremental_minhash_dups, minhash_signatures
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        batch_sigs = minhash_signatures(batch).localCheckpoint()
+        store_sigs = (
+            spark.read.option("basePath", store_dir)
+            .parquet(store_dir)
+            .where(F.col("admit_batch") < F.lit(batch_id))
+            .drop("admit_batch")
+        )
+        pairs = incremental_minhash_dups(
+            None,
+            batch,
+            verify_threshold=verify_threshold,
+            store_sigs=store_sigs,
+            incoming_sigs=batch_sigs,
+        ).localCheckpoint()
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(flags_dir, f"batch={batch_id}")
+        )
+        dup_ids = [
+            r.incoming_id
+            for r in pairs.select("incoming_id").distinct().collect()
+        ]
+        admitted = batch_sigs.where(
+            ~F.col("_id").isin(dup_ids) if dup_ids else F.lit(True)
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"admit_batch={batch_id}")
+        )
+
+    return handle
+
+
 def windowed_cms_counters(
     events: DataFrame,
     key: "F.Column",

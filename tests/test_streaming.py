@@ -458,3 +458,104 @@ def test_windowed_cms_never_undercounts(spark):
     rows = est.collect()
     assert len(rows) == 20
     assert all(r.est >= r.true_cnt for r in rows)
+
+
+def _stage_incdedup_batches(spark, tmp_path, batches):
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    base = 1_600_000_000
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = tmp_path / f"tmp{i}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        dst = staged / f"b{i}.parquet"
+        (tmp / part).rename(dst)
+        os.utime(dst, (base + i, base + i))
+    return staged
+
+
+def test_incremental_dedup_store_restart_recovery(spark, tmp_path):
+    """Kill/restart recovery for the ACCUMULATING signature store
+    (mirrors the exactly-once MERGE restart test): the first run
+    crashes INSIDE batch 1 — after its offsets are logged and after a
+    dirty half-written store partition hits disk, but before commit —
+    then a restart against the same checkpointLocation reprocesses
+    batch 1 under the same id and drains batch 2. Asserts no lost and
+    no duplicated admissions or flags."""
+    import go_nonrat_annotation_pipeline_spark.streaming.stream as ST
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven"
+    t_c = "red orange yellow green blue indigo violet cyan magenta white"
+    store0 = spark.createDataFrame([(100, t_a)], "doc_id long, text string")
+    batches = [
+        [(200, t_b)],                 # novel -> admitted
+        [(300, t_b), (500, t_c)],     # 300 dups admitted 200; 500 novel
+        [(400, t_a), (600, t_c)],     # 400 dups store 100; 600 dups admitted 500
+    ]
+    staged = _stage_incdedup_batches(spark, tmp_path, batches)
+    store_dir = str(tmp_path / "store")
+    flags_dir = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(staged))
+        )
+
+    # --- first run: real handler for batch 0, simulated kill in batch 1
+    minhash_signatures(store0.select("doc_id", "text")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_dir, "admit_batch=-1"))
+    real = ST._incdedup_make_handler(spark, store_dir, flags_dir, 0.7)
+
+    def crashing(batch_df, batch_id):
+        if batch_id >= 1:
+            # half-written garbage a mid-write kill could leave behind
+            minhash_signatures(
+                spark.createDataFrame(
+                    [(999, t_b)], "doc_id long, text string"
+                )
+            ).write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"admit_batch={batch_id}")
+            )
+            raise RuntimeError("simulated kill mid-batch")
+        real(batch_df, batch_id)
+
+    q = (
+        make_stream()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(crashing)
+        .start()
+    )
+    with pytest.raises(Exception, match="simulated kill|Query .* terminated"):
+        q.processAllAvailable()
+    q.stop()
+
+    # the crash left batch 0 committed, batch 1 dirty on disk
+    store_mid = spark.read.parquet(store_dir)
+    assert 999 in {r._id for r in store_mid.select("_id").collect()}
+
+    # --- restart from the same checkpoint -----------------------------
+    ST.incremental_dedup_stream_durable(
+        make_stream(), store0, store_dir, flags_dir, ckpt,
+        verify_threshold=0.7,
+    )
+
+    # --- invariants ----------------------------------------------------
+    store = spark.read.parquet(store_dir)
+    admitted = sorted(r._id for r in store.select("_id").collect())
+    # no lost, no duplicated admissions; the dirty 999 row was overwritten
+    assert admitted == [100, 200, 500]
+    flags = spark.read.parquet(flags_dir)
+    got = sorted((r.incoming_id, r.store_id) for r in flags.collect())
+    assert got == [(300, 200), (400, 100), (600, 500)]
+    # every flagged jaccard is the exact-dup 1.0 by construction
+    assert all(r.jaccard == 1.0 for r in flags.collect())
