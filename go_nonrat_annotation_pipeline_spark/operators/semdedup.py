@@ -90,6 +90,73 @@ def semdedup_drops(
     )
 
 
+def hottest_cell(assigned: DataFrame) -> tuple[int, int]:
+    """(cell, n_vecs) of the largest cell; ties break to the lowest
+    cell id. One k-row aggregate + a 1-row TakeOrdered collect."""
+    row = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("cell"))
+        .limit(1)
+        .collect()[0]
+    )
+    return int(row.cell), int(row.n)
+
+
+def semdedup_resplit(
+    assigned: DataFrame,
+    cell: int,
+    sub_k: int = 4,
+    iters: int = 4,
+    assign_kernel: bool = False,
+) -> DataFrame:
+    """Re-split ONE hot cell: train a sub-k-means on that cell's
+    members only and reassign them to ``sub_k`` sub-cells; every other
+    cell passes through untouched.
+
+    This is the operational response to a hot row in semdedup_report
+    (the within-cell pair pass is quadratic in cell size, so one
+    oversized cell dominates the whole job). Output keeps the
+    ``(_id, v, cell)`` shape with STRING cell labels — ``c<cell>`` for
+    untouched cells, ``c<cell>.<sub>`` for the split — so
+    :func:`semdedup_drops` / :func:`semdedup_report` compose unchanged
+    downstream. Cost: the sub-trainer runs on the hot cell's rows only
+    (one shuffle per iteration over that slice); pass-through rows are
+    a map-side relabel. Recurse on a still-hot sub-cell if needed.
+    """
+    from .kmeans import kmeans_fit
+
+    hot = assigned.where(F.col("cell") == F.lit(cell)).localCheckpoint()
+    sub_cents = kmeans_fit(
+        hot,
+        id_col="_id",
+        vec_col="v",
+        k=sub_k,
+        max_iter=iters,
+        early_stop=False,
+        assign_kernel=assign_kernel,
+    )
+    sub = ivf_assign(
+        hot.select("_id", "v"),
+        sub_cents,
+        "_id",
+        "v",
+        assign_kernel=assign_kernel,
+    ).select(
+        "_id",
+        "v",
+        F.concat(
+            F.lit(f"c{cell}."), F.col("cell").cast("string")
+        ).alias("cell"),
+    )
+    rest = assigned.where(F.col("cell") != F.lit(cell)).select(
+        "_id",
+        "v",
+        F.concat(F.lit("c"), F.col("cell").cast("string")).alias("cell"),
+    )
+    return rest.unionByName(sub)
+
+
 def semdedup_report(
     assigned: DataFrame,
     drops: DataFrame,

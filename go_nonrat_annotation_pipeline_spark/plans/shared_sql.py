@@ -137,17 +137,23 @@ def km_chain(p: str, i: int) -> str:
 
 
 def train_ctes(
-    p: str, k_codes: int, iters: int, lo: int | None = None, hi: int | None = None
+    p: str,
+    k_codes: int,
+    iters: int,
+    lo: int | None = None,
+    hi: int | None = None,
+    src: str = "e",
 ) -> str:
-    """Points (full vector, or slice [lo, hi], from a CTE named `e` with
-    columns vec_id/v) + md5 seed + unrolled kmeans training chain for
-    prefix ``p``; final centroids land in {p}c{iters}. Shared by the PQ
-    family (per-subspace codebooks) and semantic dedup (one full-vector
-    chain)."""
+    """Points (full vector, or slice [lo, hi], from the CTE named
+    ``src`` — default `e` — with columns vec_id/v) + md5 seed +
+    unrolled kmeans training chain for prefix ``p``; final centroids
+    land in {p}c{iters}. Shared by the PQ family (per-subspace
+    codebooks), semantic dedup (one full-vector chain), and the
+    hot-cell re-split (a second chain over one cell's members)."""
     vexpr = "v" if lo is None else f"LIST_SLICE(v, {lo}, {hi})"
     head = f"""
     , {p}pts AS (
-      SELECT vec_id AS _id, {vexpr} AS v FROM e
+      SELECT vec_id AS _id, {vexpr} AS v FROM {src}
     ), {p}c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY MD5(CAST(_id AS VARCHAR)), _id) - 1
                   AS INT) AS cent_id,
