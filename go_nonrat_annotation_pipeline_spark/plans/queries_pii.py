@@ -96,12 +96,12 @@ def q_pii_redact(spark, sf_dir):
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_email) AS emails,
-           SUM(n_ip) AS ips,
-           SUM(n_ssn) AS ssns,
-           SUM(n_phone) AS phones,
-           SUM(CASE WHEN n_email + n_ip + n_ssn + n_phone > 0
-                    THEN 1 ELSE 0 END) AS docs_flagged
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_ip) AS BIGINT) AS ips,
+           CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(CASE WHEN n_email + n_ip + n_ssn + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
     FROM scrubbed
     GROUP BY source
     """,

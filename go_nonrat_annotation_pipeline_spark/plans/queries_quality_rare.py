@@ -25,7 +25,8 @@ _RARE_BELOW = 100
     ), per_doc AS (
       SELECT t.doc_id,
              COUNT(*) AS n_tokens,
-             SUM(CASE WHEN c.cnt < {_RARE_BELOW} THEN 1 ELSE 0 END) AS n_rare
+             CAST(SUM(CASE WHEN c.cnt < {_RARE_BELOW} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rare
       FROM toks t JOIN counts c USING (term)
       GROUP BY t.doc_id
     )

@@ -399,6 +399,9 @@ def _incdedup_make_handler(
     (factored out so the restart-recovery test can wrap it with a
     simulated mid-batch crash)."""
     import os
+    import shutil
+
+    from pyspark.sql.types import LongType, StructField, StructType
 
     from ..operators.dedup import incremental_minhash_dups, minhash_signatures
 
@@ -407,8 +410,25 @@ def _incdedup_make_handler(
             return
         batch = batch_df.select("doc_id", "text").localCheckpoint()
         batch_sigs = minhash_signatures(batch).localCheckpoint()
+        # Only THIS batch's partition can be dirty after a kill (prior
+        # batches are committed-complete). Partition pruning skips its
+        # ROWS, but a truncated part-file's corrupt footer can still be
+        # opened by scan planning — remove the dirty directory before
+        # reading the store (the admission write below recreates it).
+        shutil.rmtree(
+            os.path.join(store_dir, f"admit_batch={batch_id}"),
+            ignore_errors=True,
+        )
+        # Explicit schema: the store rows are exactly the signature
+        # table this handler writes, plus the admit_batch partition
+        # column — never infer from footers on the recovery path.
+        store_schema = StructType(
+            list(batch_sigs.schema.fields)
+            + [StructField("admit_batch", LongType())]
+        )
         store_sigs = (
-            spark.read.option("basePath", store_dir)
+            spark.read.schema(store_schema)
+            .option("basePath", store_dir)
             .parquet(store_dir)
             .where(F.col("admit_batch") < F.lit(batch_id))
             .drop("admit_batch")
@@ -423,12 +443,13 @@ def _incdedup_make_handler(
         pairs.write.mode("overwrite").parquet(
             os.path.join(flags_dir, f"batch={batch_id}")
         )
-        dup_ids = [
-            r.incoming_id
-            for r in pairs.select("incoming_id").distinct().collect()
-        ]
-        admitted = batch_sigs.where(
-            ~F.col("_id").isin(dup_ids) if dup_ids else F.lit(True)
+        # Distributed admission filter: anti-join against the flagged
+        # ids instead of collect()+isin — no driver round-trip whose
+        # size grows with the batch's dup rate.
+        admitted = batch_sigs.join(
+            pairs.select(F.col("incoming_id").alias("_id")).distinct(),
+            on="_id",
+            how="left_anti",
         )
         admitted.write.mode("overwrite").parquet(
             os.path.join(store_dir, f"admit_batch={batch_id}")

@@ -559,3 +559,88 @@ def test_incremental_dedup_store_restart_recovery(spark, tmp_path):
     assert got == [(300, 200), (400, 100), (600, 500)]
     # every flagged jaccard is the exact-dup 1.0 by construction
     assert all(r.jaccard == 1.0 for r in flags.collect())
+
+
+def test_incremental_dedup_store_truncated_file_and_bulk_dups(
+    spark, tmp_path
+):
+    """Restart recovery when the kill leaves a TRUNCATED part-file
+    (corrupt parquet footer, not a fully-written garbage partition) in
+    the dirty store partition, and the replayed batch carries a BULK
+    dup set. Exercises the recovery hardening of the handler: dirty
+    admit_batch=<id> directory removed before the store read, the read
+    bound to an explicit schema (never footer inference), and the
+    admission filter running as a distributed anti-join (no driver
+    collect bounded by the batch's dup rate)."""
+    import go_nonrat_annotation_pipeline_spark.streaming.stream as ST
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven"
+    t_c = "red orange yellow green blue indigo violet cyan magenta white"
+    n_dup = 120
+    store0 = spark.createDataFrame([(100, t_a)], "doc_id long, text string")
+    batches = [
+        [(200, t_b)],  # novel -> admitted
+        # bulk dup set: every 1000+i exactly duplicates admitted 200
+        [(1000 + i, t_b) for i in range(n_dup)] + [(500, t_c)],
+    ]
+    staged = _stage_incdedup_batches(spark, tmp_path, batches)
+    store_dir = str(tmp_path / "store")
+    flags_dir = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(staged))
+        )
+
+    minhash_signatures(store0.select("doc_id", "text")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_dir, "admit_batch=-1"))
+    real = ST._incdedup_make_handler(spark, store_dir, flags_dir, 0.7)
+
+    def crashing(batch_df, batch_id):
+        if batch_id >= 1:
+            # a mid-write kill's worst artifact: a part-file whose
+            # parquet footer is truncated garbage
+            dirty = os.path.join(store_dir, f"admit_batch={batch_id}")
+            os.makedirs(dirty, exist_ok=True)
+            with open(
+                os.path.join(dirty, "part-00000-dead.snappy.parquet"), "wb"
+            ) as f:
+                f.write(b"PAR1\x00\x01\x02truncated-mid-write")
+            raise RuntimeError("simulated kill mid-batch")
+        real(batch_df, batch_id)
+
+    q = (
+        make_stream()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(crashing)
+        .start()
+    )
+    with pytest.raises(Exception, match="simulated kill|Query .* terminated"):
+        q.processAllAvailable()
+    q.stop()
+
+    # restart against the same checkpoint replays batch 1 and must not
+    # trip over the corrupt footer
+    ST.incremental_dedup_stream_durable(
+        make_stream(), store0, store_dir, flags_dir, ckpt,
+        verify_threshold=0.7,
+    )
+
+    store = spark.read.parquet(store_dir)
+    admitted = sorted(r._id for r in store.select("_id").distinct().collect())
+    assert admitted == [100, 200, 500]
+    flags = spark.read.parquet(flags_dir).collect()
+    assert sorted(r.incoming_id for r in flags) == [
+        1000 + i for i in range(n_dup)
+    ]
+    assert {r.store_id for r in flags} == {200}
+    assert all(r.jaccard == 1.0 for r in flags)

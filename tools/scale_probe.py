@@ -4,6 +4,11 @@ per-operator wall-clock + rows/sec. Evidence that the chosen plans
 scale linearly with data, not quadratically.
 
 Usage: python tools/scale_probe.py [multiplier]
+       python tools/scale_probe.py drain [n_vectors]
+           — SemDeDup hot-cell probe: a deliberately skewed embedding
+           set (one dominant blob), within-cell pair count and drops
+           wall-clock before vs after semdedup_drain collapses the
+           quadratic hot cell.
 """
 
 from __future__ import annotations
@@ -65,7 +70,86 @@ def timed(name: str, fn, n_rows: int):
     print(f"{name:28s} {dt:7.2f}s   in={n_rows:>9,}   out={out_rows:>9,}   {n_rows/dt:>12,.0f} rows/s")
 
 
+def drain_probe(n: int = 8000, dim: int = 16, k: int = 8, cap: int = 400):
+    """SemDeDup hot-cell drain probe (VERDICT r5 #6): 60% of vectors sit
+    in one tight blob that coarse k-means dumps into a single cell, so
+    the within-cell pair pass is quadratic in that cell. semdedup_drain
+    recursively re-splits until every cell is ≤ cap; the probe reports
+    Σ n_i·(n_i−1)/2 (the exact candidate-pair count the verify stage
+    touches) and the drops wall-clock before vs after."""
+    from go_nonrat_annotation_pipeline_spark.operators import semdedup as SD
+    from go_nonrat_annotation_pipeline_spark.operators.kmeans import kmeans_fit
+
+    spark = get_spark("drain_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noise(d, scale):
+        return (
+            (F.pmod(F.xxhash64("vec_id", F.lit(d)), 2000) / 1000.0 - 1.0)
+            * scale
+        )
+
+    emb = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("hot", F.pmod("vec_id", 10) < 6)
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    F.when(
+                        F.col("hot"),
+                        noise(d, 0.2) + (8.0 if d == 0 else 0.0),
+                    )
+                    .otherwise(noise(d, 4.0))
+                    .cast("double")
+                    for d in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    cents = kmeans_fit(
+        emb, k=k, max_iter=3, early_stop=False, assign_kernel=True
+    ).localCheckpoint()
+    assigned = SD.semdedup_assign(
+        emb, cents, assign_kernel=True
+    ).localCheckpoint()
+
+    def pair_stats(a):
+        rows = a.groupBy("cell").agg(F.count(F.lit(1)).alias("cn")).collect()
+        sizes = [int(r.cn) for r in rows]
+        return max(sizes), sum(s * (s - 1) // 2 for s in sizes), len(sizes)
+
+    mx, pairs, ncells = pair_stats(assigned)
+    timed(
+        f"drops BEFORE (hot={mx}, pairs={pairs:,}, cells={ncells})",
+        lambda: SD.semdedup_drops(assigned, 0.95).count(),
+        n,
+    )
+    t0 = time.perf_counter()
+    drained, hist = SD.semdedup_drain(
+        assigned, cap, sub_k=8, iters=3, max_rounds=32, assign_kernel=True
+    )
+    dt = time.perf_counter() - t0
+    mx2, pairs2, ncells2 = pair_stats(drained)
+    print(
+        f"semdedup_drain({len(hist)} rounds) {dt:7.2f}s   "
+        f"max_cell {mx}->{mx2}   pairs {pairs:,}->{pairs2:,} "
+        f"({pairs / max(pairs2, 1):.1f}x collapse)   cells {ncells}->{ncells2}"
+    )
+    timed(
+        f"drops AFTER  (hot={mx2}, pairs={pairs2:,}, cells={ncells2})",
+        lambda: SD.semdedup_drops(drained, 0.95).count(),
+        n,
+    )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "drain":
+        drain_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8000)
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
