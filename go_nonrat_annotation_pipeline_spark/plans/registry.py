@@ -46,86 +46,102 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # one-list edit and every query module stays byte-identical across
 # rounds (the judge verifies attested code via git diff).
 #
-# Round-5 window (exactly 50), per the round-4 rotation plan:
-#   1     stream_tumbling_agg — the one red row, repaired this round
-#         (DECIMAL boundary column → integer micro-units BIGINT)
-#   2-35  the 34 never-attested round-4 additions, module order
-#         (PQ/IVF-PQ, snapshot diff, hist/HLL-KMV-CMS merge laws,
-#         incremental + streaming dedup, BPE, canonical-doc, langid,
-#         validation, streaming CMS/enrich, PPS, outliers/funnel,
-#         ORC + grouped sketches, SemDeDup, PII, both E2E composites)
-#   36-38 the three rows whose boundary changed this round (raw
-#         TIMESTAMP columns → epoch-microsecond BIGINT, per the
-#         tightened tools/float_lint.py): w3_session_window_native,
-#         stream_stateful_sessions, stream_session_window
-#   39-50 12 of the 13 r2-stale relational-tail rows (j02, j05, j06,
-#         j07, a2, j08, j09, j11, j12, a1, a6, q5)
-# Remaining r2-stale rows for the round-6 window (12):
-#   q_rollup_status_priority; consolidate a3/a4/a5; closure j04/j10;
-#   upsert a7/a8; window w1/w2 + set_ops_except_union/set_array_algebra.
-WINDOW_R5 = [
-    "stream_tumbling_agg",
-    # -- never-attested round-4 additions (34), module order --
-    "sim_pq_adc",
-    "sim_pq_rerank",
-    "sim_ivf_pq",
-    "sim_pq_adc_kernel",
-    "q_snapshot_diff_counts",
-    "q_snapshot_diff_rows",
-    "q_hist_quantile_state",
-    "q_hist_merge_law",
-    "q_hll_merge_law",
-    "dedup_incremental",
+# FREEZE RULE (adopted round 6, the 9d6c lesson from VERDICT.md r5 #3):
+# once the round's WINDOW_R{N} list is committed, the modules backing
+# its rows are FROZEN for the round — any behavior change to a
+# window-listed query waits for the next round, or must re-declare the
+# window in the same commit. Otherwise a mid-round driver snapshot
+# races the edit.
+#
+# Round-6 window (exactly 50), per the round-5 VERDICT prescription:
+#   1-4   the four r5-red rows — same single root cause (oracle-side
+#         DuckDB SUM(int) → HUGEINT at the driver hash boundary),
+#         fixed this round with CAST(... AS BIGINT) in the oracle SQL
+#         only (Spark sides were already BIGINT; logic untouched)
+#   5     q_bpe_merges_batched — written r5 after the window, never
+#         attested, passes the local exact-value oracle
+#   6-17  the 12 r2-stale rows (rollup, consolidate a3/a4/a5, closure
+#         j04/j10, upsert a7/a8, window w1/w2, set_ops ×2) — code
+#         byte-unchanged since their green round
+#   18-50 33 of the 40 r3-stale rows, family order (dedup/components,
+#         multimodal, E2E pipelines, analytics/joins, sampling/
+#         curation, IVF, streaming, text)
+# Deferred to the round-7 window (7 rows, all r3-green twins of rows
+# that ARE in this window): dedup_clusters_minlabel,
+# dedup_embedding_bucketed_kernel, sim_ivf_trained_kernel, mm_resize,
+# q_cube_status_priority, q_scalar_subquery, q_multi_distinct.
+WINDOW_R6 = [
+    # -- the four r5 reds, oracle CAST fixed this round --
     "q_rare_token_ratio",
-    "stream_incremental_dedup",
     "q_bpe_merges",
     "q_bpe_token_freqs",
-    "q_cluster_canonical",
-    "q_langid_trained",
-    "q_expectations_report",
-    "q_k_anonymity",
-    "q_hist_by_source",
-    "stream_cms_counters",
-    "q_pps_sample",
-    "stream_static_enrich",
-    "q_value_outliers",
-    "q_funnel_ordered",
-    "q_orc_roundtrip",
-    "q_hll_by_group",
-    "q_kmv_merge_law",
-    "q_cms_merge_law",
-    "q_semdedup_drops",
-    "q_semdedup_report",
-    "q_pii_redact",
     "q_pii_report",
-    "corpus_curation_e2e",
-    "corpus_refresh_e2e",
-    # -- boundary-type changes this round (timestamp → epoch-us) --
-    "w3_session_window_native",
-    "stream_stateful_sessions",
-    "stream_session_window",
-    # -- stalest r2 rows: relational tail (12 of 13) --
-    "j02_fallback_cascade",
-    "j05_post_match_guard",
-    "j06_two_hop_edge_join",
-    "j07_evidence_gate",
-    "a2_rejected_code_counts",
-    "j08_lookup_with_null_audit",
-    "j09_exclusion_anti_join",
-    "j11_nullsafe_key_match",
-    "j12_active_semi_join",
-    "a1_source_line_counts",
-    "a6_before_after_counts",
-    "q5_multiway_join_agg",
+    # -- never-attested r5 addition --
+    "q_bpe_merges_batched",
+    # -- the 12 r2-stale rows --
+    "q_rollup_status_priority",
+    "a3_withinfo_consolidate",
+    "a4_duplicate_merge",
+    "a5_notes_eq_xref_clear",
+    "j04_history_resolution",
+    "j10_descendant_anti_join",
+    "a7_upsert_classification",
+    "a8_threshold_guarded_delete",
+    "w1_topk_per_group",
+    "w2_sessionize",
+    "set_ops_except_union",
+    "set_array_algebra",
+    # -- 33 of the 40 r3-stale rows --
+    "dedup_clusters",
+    "dedup_embedding_bucketed",
+    "dedup_winnowing",
+    "q_chunk_dedup",
+    "q_contamination_13gram",
+    "mm_binary_decode",
+    "mm_frame_sample",
+    "pipeline_e2e_mouse",
+    "pipeline_e2e_upsert",
+    "q_asof_attribution",
+    "q_global_topk",
+    "q_json_extract",
+    "q_jsonl_roundtrip",
+    "q_percentile_disc",
+    "q_pivot_event_counts",
+    "q_range_window_count",
+    "q_skew_salted_tokens",
+    "q_cluster_safe_split",
+    "q_mixture_weighted",
+    "q_quota_sample",
+    "q_train_test_split",
+    "q_sequence_packing",
+    "q_doc_chunking",
+    "sim_ivf_trained",
+    "stream_dedup_keys",
+    "stream_e2e_upsert",
+    "stream_interval_join",
+    "stream_synthetic_agg",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_ngram_topk",
+    "text_quality_score",
+    "text_token_count",
 ]
+
+# A rotation edit that drops or duplicates a name would silently shift
+# which queries fall inside the attested first-50 window — assert shape
+# at import time, not just membership (ADVICE.md r5).
+assert len(WINDOW_R6) == 50 == len(set(WINDOW_R6)), (
+    f"WINDOW_R6 must be exactly 50 unique names, got "
+    f"{len(WINDOW_R6)} / {len(set(WINDOW_R6))} unique"
+)
 
 
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry. Shared SQL fragments
     # live in shared_sql.py (never registers), so no module import drags
-    # another registering module in early. Output order: WINDOW_R5
+    # another registering module in early. Output order: WINDOW_R6
     # first, then every other registered query in module/definition
-    # order (the driver attests the first 50 = exactly WINDOW_R5).
+    # order (the driver attests the first 50 = exactly WINDOW_R6).
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,
@@ -152,8 +168,8 @@ def all_queries() -> dict[str, Q]:
         queries_sampling,
         queries_curation,
         # round-4 additions, modules similarity_pq through
-        # queries_refresh_e2e (all 34 rows sit in WINDOW_R5 slots 2-35
-        # this round; import position no longer matters for the window)
+        # queries_refresh_e2e (import position no longer matters for
+        # the window — WINDOW_R6 reorders explicitly)
         queries_similarity_pq,
         queries_diff,
         queries_sketches_hist,
@@ -173,14 +189,14 @@ def all_queries() -> dict[str, Q]:
         queries_pii,
         queries_corpus_e2e,
         queries_refresh_e2e,
-        # round-5 additions (after the window; lead the round-6
-        # rotation together with the r2-stale tail listed above)
+        # round-5 additions (q_bpe_merges_batched sits in WINDOW_R6
+        # slot 5 this round)
         queries_bpe_batched,
     )
 
-    missing = [n for n in WINDOW_R5 if n not in _REGISTRY]
+    missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
     if missing:  # a rotation typo must fail loudly, not shrink the window
-        raise KeyError(f"WINDOW_R5 names not in registry: {missing}")
-    ordered = {n: _REGISTRY[n] for n in WINDOW_R5}
+        raise KeyError(f"WINDOW_R6 names not in registry: {missing}")
+    ordered = {n: _REGISTRY[n] for n in WINDOW_R6}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
