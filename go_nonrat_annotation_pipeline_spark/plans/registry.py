@@ -196,6 +196,8 @@ def all_queries() -> dict[str, Q]:
         # rotation together with the 7 deferred r3 rows listed above)
         queries_dsir,
         queries_boilerplate,
+        queries_ann_recall,
+        queries_formats_r6,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
