@@ -198,6 +198,7 @@ def all_queries() -> dict[str, Q]:
         queries_boilerplate,
         queries_ann_recall,
         queries_formats_r6,
+        queries_dedup_recall,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
