@@ -199,6 +199,7 @@ def all_queries() -> dict[str, Q]:
         queries_ann_recall,
         queries_formats_r6,
         queries_dedup_recall,
+        queries_streaming_dsir,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
