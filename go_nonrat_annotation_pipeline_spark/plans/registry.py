@@ -200,6 +200,7 @@ def all_queries() -> dict[str, Q]:
         queries_formats_r6,
         queries_dedup_recall,
         queries_streaming_dsir,
+        queries_shards,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]

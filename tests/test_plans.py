@@ -256,3 +256,31 @@ def test_corpus_e2e_no_cartesian_no_python(spark, registry):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dsir_scoring_broadcasts_model_no_python(spark, registry):
+    """DSIR scoring: the ≤4096-row bucket model joins broadcast (the
+    explicit F.broadcast hint), the n-gram explode stays JVM-side, and
+    no cartesian pass appears anywhere."""
+    p = plan(registry["q_dsir_scores"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_boilerplate_strip_bounded_shape(spark, registry):
+    """Boilerplate rewrite: chunking/reassembly stay JVM-side with no
+    cartesian pass; the whole rewrite is a bounded-shuffle DAG."""
+    p = plan(registry["q_boilerplate_strip"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dedup_recall_truth_is_equi_join(spark, registry):
+    """The exact-truth pair set must come from the inverted-index
+    EQUI-join on the shingle hash — never an all-pairs nested loop."""
+    p = plan(registry["q_dedup_recall"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

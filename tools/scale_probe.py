@@ -596,6 +596,46 @@ def main():
         n_docs,
     )
 
+    # DSIR importance scoring (round 6): model build is two bounded
+    # aggregates; scoring is a broadcast join + one per-doc aggregate —
+    # both linear in the n-gram stream
+    from go_nonrat_annotation_pipeline_spark.operators import dsir as DSIR
+
+    tgt = docs.where(F.pmod(F.col("doc_id"), 10) < 1)
+    timed(
+        "dsir_weights(2-gram,4096)",
+        lambda: DSIR.dsir_bucket_weights(tgt, docs).count(),
+        n_docs,
+    )
+    dsir_w = DSIR.dsir_bucket_weights(tgt, docs).localCheckpoint()
+    timed(
+        "dsir_score(bcast model)",
+        lambda: DSIR.dsir_scores(docs, dsir_w).count(),
+        n_docs,
+    )
+
+    # Boilerplate strip (round 6): chunk + freq model + rewrite, three
+    # bounded shuffles
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        boilerplate as BPL,
+    )
+
+    timed(
+        "boilerplate_strip(3-tok)",
+        lambda: BPL.boilerplate_strip(docs).count(),
+        n_docs,
+    )
+
+    # Training-shard shuffle (round 6): map-side assignment + one
+    # hash-partitioned exchange with in-partition sort
+    from go_nonrat_annotation_pipeline_spark.operators import shards as SHD
+
+    timed(
+        "shuffle_shards(64)",
+        lambda: SHD.shard_assignments(docs, "doc_id", 64).count(),
+        n_docs,
+    )
+
 
 if __name__ == "__main__":
     main()
