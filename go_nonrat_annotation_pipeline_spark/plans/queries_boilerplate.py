@@ -18,11 +18,14 @@ from .registry import register
 _CHUNK = 3
 _MAX_DOCS = 3
 
-_CHUNKS_CTE = f"""
-    WITH toks AS (
+# Parametrized (like shared_sql.pair_ctes) so the corpus-build E2E can
+# chunk an arbitrary source relation; defines toks/ch/freq.
+def chunks_ctes(src: str = "documents") -> str:
+    return f"""
+    toks AS (
       SELECT doc_id,
              LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
-      FROM documents
+      FROM {src}
     ), ch AS (
       SELECT doc_id, j AS pos,
              ARRAY_TO_STRING(
@@ -37,6 +40,9 @@ _CHUNKS_CTE = f"""
       FROM ch GROUP BY chunk
     )
 """
+
+
+_CHUNKS_CTE = "    WITH " + chunks_ctes()
 
 
 @register(

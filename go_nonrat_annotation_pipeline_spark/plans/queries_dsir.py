@@ -23,14 +23,19 @@ _N = 2
 _BUCKETS = DS.DEFAULT_BUCKETS
 _KEEP = 0.2
 
-# Shared oracle prefix: hashed-bigram occurrences and the two count
-# models. hash60 mirror = CAST('0x' || first 15 md5 hex chars AS BIGINT)
+# Shared oracle CTE body: hashed-bigram occurrences and the two count
+# models over an arbitrary source relation (needs doc_id, source, text).
+# hash60 mirror = CAST('0x' || first 15 md5 hex chars AS BIGINT)
 # (operators/sketches.sql_hash60 — inlined here over the ngram string).
-_PREFIX = f"""
-    WITH base AS (
+# Parametrized (like shared_sql.pair_ctes) so the corpus-build E2E can
+# run the same model over its boilerplate-stripped intermediate.
+def dsir_ctes(src: str = "documents") -> str:
+    """Defines base/occ/t/r/w — avoid those CTE names around it."""
+    return f"""
+    base AS (
       SELECT doc_id, source,
              LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
-      FROM documents
+      FROM {src}
     ), occ AS (
       SELECT doc_id, source,
              CAST('0x' || SUBSTR(MD5(toks[i] || ' ' || toks[i + 1]), 1, 15)
@@ -53,6 +58,9 @@ _PREFIX = f"""
       FROM t FULL JOIN r ON t.bucket = r.bucket
     )
 """
+
+
+_PREFIX = "    WITH " + dsir_ctes()
 
 
 def _target(docs):

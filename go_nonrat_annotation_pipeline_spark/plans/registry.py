@@ -201,6 +201,7 @@ def all_queries() -> dict[str, Q]:
         queries_dedup_recall,
         queries_streaming_dsir,
         queries_shards,
+        queries_build_e2e,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
