@@ -65,6 +65,11 @@ EXTENDED = [
     "q_pii_redact",
     "corpus_curation_e2e",
     "corpus_refresh_e2e",
+    # round 6 additions
+    "q_dsir_scores",
+    "q_boilerplate_strip",
+    "q_shuffle_shards",
+    "corpus_build_e2e",
 ]
 
 
