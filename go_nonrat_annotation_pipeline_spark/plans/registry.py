@@ -66,10 +66,18 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   18-50 33 of the 40 r3-stale rows, family order (dedup/components,
 #         multimodal, E2E pipelines, analytics/joins, sampling/
 #         curation, IVF, streaming, text)
-# Deferred to the round-7 window (7 rows, all r3-green twins of rows
-# that ARE in this window): dedup_clusters_minlabel,
-# dedup_embedding_bucketed_kernel, sim_ivf_trained_kernel, mm_resize,
-# q_cube_status_priority, q_scalar_subquery, q_multi_distinct.
+# Round-7 window candidates (kept current for rotation planning):
+# - 7 deferred r3-green twins of rows in this window:
+#   dedup_clusters_minlabel, dedup_embedding_bucketed_kernel,
+#   sim_ivf_trained_kernel, mm_resize, q_cube_status_priority,
+#   q_scalar_subquery, q_multi_distinct;
+# - 11 never-attested round-6 additions (modules queries_dsir through
+#   queries_build_e2e below): q_dsir_bucket_weights, q_dsir_scores,
+#   q_dsir_select, q_boilerplate_freq, q_boilerplate_strip,
+#   q_ann_recall, q_csv_roundtrip, q_dedup_recall, stream_dsir_score,
+#   q_shuffle_shards, corpus_build_e2e;
+# - the remaining ~32 slots drain the r4-stale tail (rows last green in
+#   CORRECTNESS_r04).
 WINDOW_R6 = [
     # -- the four r5 reds, oracle CAST fixed this round --
     "q_rare_token_ratio",
