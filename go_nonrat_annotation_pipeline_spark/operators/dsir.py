@@ -155,14 +155,47 @@ def dsir_select(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Top ``ceil(keep_fraction * N)`` docs by (norm_ppm desc, id asc) —
-    deterministic importance selection. One count job + one distributed
-    TakeOrdered (per-partition heaps); k rows land on the driver side
-    of the limit, never the corpus."""
+    deterministic importance selection, THRESHOLD-based so it scales:
+    ``orderBy().limit(k)`` would funnel k ≈ 20% of the corpus through
+    TakeOrdered's single merge, so instead the cut value is found on the
+    SCORE DISTRIBUTION (one groupBy bounded by the fixed-point ppm value
+    domain, never corpus cardinality; its cumulative window runs over
+    that small distinct-value table) and the corpus is then FILTERED
+    map-side: every row above the threshold plus the lowest-id rows at
+    exactly the threshold to land on k. Only the threshold tie-group —
+    normally a handful of rows — pays a TakeOrdered."""
     import math
 
+    from pyspark.sql.window import Window
+
     k = math.ceil(keep_fraction * scored.count())
-    return (
-        scored.orderBy(F.desc("norm_ppm"), F.asc(id_col))
-        .limit(k)
-        .select(id_col, "n_grams", "score_ppm", "norm_ppm")
+    if k <= 0:
+        return scored.where(F.lit(False)).select(
+            id_col, "n_grams", "score_ppm", "norm_ppm"
+        )
+    dist = scored.groupBy("norm_ppm").agg(F.count(F.lit(1)).alias("c"))
+    # unpartitioned window is safe here: dist is value-domain-sized
+    cum = dist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy(F.desc("norm_ppm")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    t = (
+        cum.where(F.col("cum") >= k)
+        .orderBy(F.desc("norm_ppm"))
+        .limit(1)
+        .collect()[0]
+    )
+    n_ties = k - (t.cum - t.c)  # rows strictly above the threshold: cum - c
+    above = scored.where(F.col("norm_ppm") > t.norm_ppm)
+    ties = (
+        scored.where(F.col("norm_ppm") == t.norm_ppm)
+        .orderBy(F.asc(id_col))
+        .limit(int(n_ties))
+    )
+    return above.unionByName(ties).select(
+        id_col, "n_grams", "score_ppm", "norm_ppm"
     )
