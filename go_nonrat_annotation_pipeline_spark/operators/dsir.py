@@ -183,12 +183,15 @@ def dsir_select(
             )
         ),
     )
-    t = (
+    t_rows = (
         cum.where(F.col("cum") >= k)
         .orderBy(F.desc("norm_ppm"))
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not t_rows:  # keep_fraction ≥ 1: everything qualifies
+        return scored.select(id_col, "n_grams", "score_ppm", "norm_ppm")
+    t = t_rows[0]
     n_ties = k - (t.cum - t.c)  # rows strictly above the threshold: cum - c
     above = scored.where(F.col("norm_ppm") > t.norm_ppm)
     ties = (

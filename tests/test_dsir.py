@@ -77,3 +77,6 @@ def test_scores_and_selection(spark):
     # the selected set is exactly the top by (norm_ppm desc, id asc)
     expect = sorted(rows.values(), key=lambda r: (-r.norm_ppm, r.doc_id))[:7]
     assert sorted(r.doc_id for r in sel) == sorted(r.doc_id for r in expect)
+    # boundary fractions
+    assert DS.dsir_select(scored, 1.0).count() == 13
+    assert DS.dsir_select(scored, 0.0).count() == 0

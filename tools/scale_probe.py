@@ -65,7 +65,12 @@ def inflate(df, id_col: str, mult: int):
 
 def timed(name: str, fn, n_rows: int):
     t0 = time.perf_counter()
-    out_rows = fn()
+    try:
+        out_rows = fn()
+    except Exception as e:  # noqa: BLE001 — a probe harness must finish its table
+        dt = time.perf_counter() - t0
+        print(f"{name:28s} FAILED {dt:7.2f}s   {repr(e)[:140]}")
+        return
     dt = time.perf_counter() - t0
     print(f"{name:28s} {dt:7.2f}s   in={n_rows:>9,}   out={out_rows:>9,}   {n_rows/dt:>12,.0f} rows/s")
 
@@ -491,21 +496,29 @@ def main():
     )
 
     # triangle counting over a degree-bounded co-occurrence graph: the
-    # oriented-wedge join is the quadratic risk — max_group caps it
-    edges_g = co_occurrence_edges(
-        li.select(
-            F.col("l_partkey").alias("item"), F.col("l_orderkey").alias("grp")
-        ),
-        "grp",
-        "item",
-        max_group=8,
-    ).localCheckpoint()
-    n_eg = edges_g.count()
-    timed(
-        "triangle_count(wedges)",
-        lambda: triangle_count(edges_g).collect() and n_eg,
-        n_eg,
-    )
+    # oriented-wedge join is the quadratic risk — max_group caps it.
+    # Setup is guarded: by this point the long-lived session holds many
+    # pinned broadcast pieces, and at 40× the edge build's broadcast can
+    # fail driver-heap allocation (observed round 6) — a dead probe must
+    # not take the rest of the table with it.
+    try:
+        edges_g = co_occurrence_edges(
+            li.select(
+                F.col("l_partkey").alias("item"),
+                F.col("l_orderkey").alias("grp"),
+            ),
+            "grp",
+            "item",
+            max_group=8,
+        ).localCheckpoint()
+        n_eg = edges_g.count()
+        timed(
+            "triangle_count(wedges)",
+            lambda: triangle_count(edges_g).collect() and n_eg,
+            n_eg,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"{'triangle_count(wedges)':28s} FAILED (setup)   {repr(e)[:140]}")
 
     # BPE: the corpus-sized stage is word_freqs (one explode + agg);
     # merge iterations run on the dictionary (vocab-sized — grows only
