@@ -117,6 +117,8 @@ AUDITED = {
     ("q_global_topk", "o_totalprice"): "passthrough",
     ("q_percentile_disc", "p50"): "passthrough",
     ("q_percentile_disc", "p90"): "passthrough",
+    ("q_lm_perplexity_bucket", "ce"): "rounded",
+    ("q_mixture_drift_kl", "kl_contrib"): "rounded",
 }
 
 
