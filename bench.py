@@ -70,6 +70,8 @@ EXTENDED = [
     "q_boilerplate_strip",
     "q_shuffle_shards",
     "corpus_build_e2e",
+    "q_lm_perplexity_bucket",
+    "q_pagerank_topk",
 ]
 
 

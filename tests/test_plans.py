@@ -284,3 +284,37 @@ def test_dedup_recall_truth_is_equi_join(spark, registry):
     p = plan(registry["q_dedup_recall"].spark(spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lm_scoring_broadcasts_model_no_python(spark, registry):
+    """LM quality scoring: both alphabet-bounded model tables join
+    broadcast; the bigram explode stays JVM-side; no cartesian pass."""
+    p = plan(registry["q_lm_perplexity_bucket"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_oov_vocab_join_leaves_strategy_to_catalyst(spark, registry):
+    """OOV coverage: the token vocabulary grows with the corpus, so the
+    operator must NOT carry a broadcast hint — Catalyst picks broadcast
+    at toy sf (vocab under the threshold, fine) and flips to shuffle
+    when the size estimate grows (same posture as tf-idf). Assert the
+    logical plan is hint-free and the physical plan is an equi-join."""
+    df = registry["q_oov_rate"].spark(spark, SF)
+    assert "UnresolvedHint" not in df._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in df._jdf.queryExecution().logical().toString().lower()
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pagerank_all_jvm_bounded_joins(spark, registry):
+    """Fixed-point PageRank: every iteration is equi-join + hash
+    aggregate — no cartesian, no Python, no nested-loop fallback."""
+    p = plan(registry["q_pagerank_topk"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -649,6 +649,50 @@ def main():
         n_docs,
     )
 
+    # LM-quality scoring (round 6b): model is alphabet²-bounded
+    # (broadcast); scoring is one per-doc aggregate over the bigram
+    # stream — linear like dsir_score
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        lmquality as LMQ,
+    )
+
+    lm_train = docs.where(F.pmod(F.col("doc_id"), 5) != 0)
+    lm = LMQ.train_bigram_lm(lm_train)
+    lm["bg"] = lm["bg"].localCheckpoint()
+    lm["c1"] = lm["c1"].localCheckpoint()
+    timed(
+        "lm_ce_score(bcast bigram LM)",
+        lambda: LMQ.score_cross_entropy(
+            docs.where(F.pmod(F.col("doc_id"), 5) == 0), lm, 1.7, 1.72
+        ).count(),
+        n_docs,
+    )
+    timed(
+        "oov_rate(train-vocab join)",
+        lambda: LMQ.oov_stats(
+            lm_train, docs.where(F.pmod(F.col("doc_id"), 5) == 0)
+        ).count(),
+        n_docs,
+    )
+
+    # Fixed-point PageRank (round 6b): one groupBy-sum shuffle per
+    # iteration over the co-purchase edge list — linear in edges per
+    # iteration; edges grow with lineitem, not docs
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        graph as GRH,
+        graphrank as GRR,
+    )
+
+    pr_edges = GRH.co_occurrence_edges(
+        li, "l_orderkey", "l_partkey"
+    ).localCheckpoint()
+    n_edges = pr_edges.count()
+    timed(
+        "pagerank_fp(3 iters)",
+        lambda: GRR.pagerank_fixed_point(pr_edges, iters=3, top_k=20).count(),
+        n_edges,
+    )
+
 
 if __name__ == "__main__":
     main()
