@@ -72,6 +72,8 @@ EXTENDED = [
     "corpus_build_e2e",
     "q_lm_perplexity_bucket",
     "q_pagerank_topk",
+    "dedup_simhash_hamming",
+    "q_incremental_agg_maintain",
 ]
 
 

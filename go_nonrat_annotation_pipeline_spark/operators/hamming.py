@@ -1,0 +1,280 @@
+"""Hamming-radius near-duplicate join over integer signatures.
+
+The missing piece between the SimHash SIGNATURE operator
+(operators/dedup.simhash — map-side signature computation only) and an
+actual near-dup PAIR list: given any n-bit integer signature column,
+find all pairs within Hamming distance d WITHOUT an all-pairs scan.
+
+Algorithm (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+Crawling", WWW'07 — the production simhash-dedup design): split the
+n-bit signature into B contiguous blocks; d mismatched bits corrupt at
+most d blocks, so at least B-d blocks match exactly, and for
+d ≤ B - key_blocks every pair within distance d agrees on at least one
+key_blocks-sized block COMBINATION (pigeonhole). Candidate generation
+is therefore an equi-join on C(B, key_blocks) compound keys; exact
+verification (popcount of XOR ≤ d) touches candidates only. Recall is
+1.0 by construction — unlike MinHash banding there is no probability
+knob to tune.
+
+Scale posture: the banded table is C(B, key_blocks)× the signature
+table (15× at the 2-of-6 default); candidate generation is one
+equi-join shuffled on (combination, compound key). The compound-key
+width is the scale lever: single-block keys are birthday-bound
+(n² / 2^(n/B) false candidates — measured 7M candidates for 50k docs
+at 10-bit keys), while the 20-bit 2-of-6 default divides that by
+~400×; false-candidate volume falls geometrically with key_blocks at a
+linear cost in banded rows. Verification is one O(1) bit_count per
+candidate, JVM-side. No stage ever materializes the quadratic pair
+space. The signature is one exploded hash aggregate (see simhash60).
+
+Signatures: ``simhash60`` widens operators/dedup.simhash from its 20
+EFFECTIVE bits (word hashes are mod P ≈ 2^20, so any bit ≥ 20 of that
+construction is constant) to 60 independent bits by slicing THREE
+20-bit word hashes out of one md5 (hex chars 1-5 / 6-10 / 11-15); bits
+b ∈ [0,60) take bit (b mod 20) of slice (b div 20). 60 bits keeps all
+band/XOR arithmetic inside non-negative BIGINT on both engines.
+
+``phash60`` is the multimodal twin: the same locality-sensitive 60-bit
+signature computed from a binary media column's byte stream. It is the
+deterministic stand-in for a DCT perceptual hash (pHash) — a real
+deployment computes the DCT hash inside the decode kernel
+(operators/multimodal.decode_metadata's mapInPandas, where the pixels
+are) and feeds it to the SAME ``hamming_band_pairs``; the banded join
+is signature-agnostic.
+
+Reference scope: the reference pipeline (edu/mcw/rgd, annotation ETL)
+has no near-dup machinery; this is north-star extension surface like
+operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import P  # noqa: F401 — documented contrast only
+from .util import ensure_parallelism
+
+BITS = 60
+SLICE_BITS = 20
+N_SLICES = 3
+
+
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 60-bit SimHash over whitespace tokens: (id_col, sig).
+
+    Three 20-bit md5 slices per word (ONE md5 per word), then ONE hash
+    aggregate carrying all 60 majority-vote bit sums. explode +
+    groupBy(id) measured 2.1x faster at sf0.1 than the
+    operators/dedup.simhash unrolled-F.aggregate shape (higher-order
+    lambdas evaluate outside whole-stage codegen; the conditional SUMs
+    stay inside it), and the exchange it introduces is
+    signature-table-sized: partial aggregation collapses each doc's
+    words map-side, so the shuffle carries one 61-column row per doc --
+    cheaper than re-reading the text, and the downstream band join
+    shuffles the signature table anyway.
+    """
+    # NULL text coalesces to '' (one empty token) so the row survives
+    # the explode — keeps the output row set identical to the oracle's
+    words = ensure_parallelism(df.select(id_col, F.col(text_col))).select(
+        id_col,
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("_w"),
+    )
+    md5 = F.md5(F.col("_w"))
+    hashed = words.select(
+        id_col,
+        *[
+            F.conv(F.substring(md5, 1 + 5 * k, 5), 16, 10)
+            .cast("long")
+            .alias(f"_h{k}")
+            for k in range(N_SLICES)
+        ],
+    )
+    sums = []
+    for b in range(BITS):
+        k, bb = b // SLICE_BITS, b % SLICE_BITS
+        # integer shift+mask, not the `/`+cast idiom: division lowers to
+        # a float divide per (occurrence, bit) — measured ~15% slower
+        # across 600M bit extractions at sf0.1
+        bit = F.shiftright(F.col(f"_h{k}"), bb).bitwiseAND(F.lit(1))
+        sums.append(F.sum(2 * bit - 1).alias(f"_s{b}"))
+    g = hashed.groupBy(id_col).agg(*sums)
+    sig = None
+    for b in range(BITS):
+        contrib = F.when(
+            F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = contrib if sig is None else sig + contrib
+    return g.select(id_col, sig.alias("sig"))
+
+
+def phash60(
+    media_df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Deterministic perceptual-hash stand-in for a binary media column.
+
+    Computes the locality-sensitive 60-bit signature over the payload's
+    byte-token stream — bit-reproducible in the DuckDB oracle. A real
+    deployment replaces this with a DCT pHash computed inside the decode
+    mapInPandas kernel (operators/multimodal); downstream
+    ``hamming_band_pairs`` is unchanged either way.
+    """
+    decoded = media_df.select(
+        id_col, F.decode(F.col(media_col), "UTF-8").alias("_payload")
+    )
+    return simhash60(decoded, id_col, "_payload")
+
+
+def _combos(blocks: int, key_blocks: int):
+    import itertools
+
+    return list(itertools.combinations(range(blocks), key_blocks))
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bits: int = BITS,
+    blocks: int = 6,
+    key_blocks: int = 2,
+    max_distance: int = 4,
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_distance``: (id_a, id_b,
+    hamming).
+
+    Compound-key banding (Manku et al. WWW'07 table design): the
+    signature splits into ``blocks`` chunks and every
+    ``key_blocks``-sized chunk COMBINATION forms one join key. d
+    mismatched bits corrupt at most d chunks, so at least
+    ``blocks - d`` chunks survive intact; when
+    ``d <= blocks - key_blocks`` some combination is drawn entirely
+    from intact chunks and the pair collides — recall 1.0 by
+    pigeonhole, no probability knob. Wider compound keys are the
+    scale control: single-chunk keys (key_blocks=1) put random
+    collisions at n²/2^(bits/blocks) — birthday-bound quadratic — while
+    the default 2-of-6 blocks on 60 bits gives C(6,2)=15 tables with
+    20-bit keys: 2.5× more banded rows, ~400× fewer false candidates.
+    Exact verification (one bit_count(xor) per candidate, JVM-side)
+    touches collisions only; nothing materializes the pair space.
+    """
+    if bits % blocks:
+        raise ValueError(f"blocks={blocks} must divide bits={bits}")
+    if max_distance > blocks - key_blocks:
+        raise ValueError(
+            f"max_distance={max_distance} breaks the pigeonhole recall "
+            f"guarantee: need max_distance <= blocks - key_blocks = "
+            f"{blocks - key_blocks}"
+        )
+    w = bits // blocks
+    s = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+    s = s.localCheckpoint()  # feeds key explode + both verify joins
+
+    def chunk(b: int):
+        return (F.col("_sig") / F.lit(1 << (w * b))).cast("long") % (1 << w)
+
+    keys = F.array(
+        *[
+            sum(chunk(b) * F.lit((1 << w) ** i) for i, b in enumerate(combo))
+            for combo in _combos(blocks, key_blocks)
+        ]
+    )
+    banded = s.select("_id", F.posexplode(keys).alias("cmb", "key"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("c"),
+            on=[
+                F.col("a.cmb") == F.col("c.cmb"),
+                F.col("a.key") == F.col("c.key"),
+                F.col("a._id") < F.col("c._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("c._id").alias("id_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))
+    sb = s.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL builders — same constants, same arithmetic
+# ---------------------------------------------------------------------------
+def sql_simhash60_ctes(source_sql: str, id_col: str, text_expr: str) -> str:
+    """CTEs ``__wh`` and ``sh``: (id, sig) with the 60-bit signature,
+    bit-identical to :func:`simhash60`."""
+    wh = ", ".join(
+        f"LIST_TRANSFORM(STR_SPLIT(COALESCE(({text_expr}), ''), ' '), "
+        f"w -> CAST('0x' || SUBSTR(MD5(w), {1 + 5 * k}, 5) AS BIGINT)) AS wh{k}"
+        for k in range(N_SLICES)
+    )
+    parts = []
+    for b in range(BITS):
+        k, bb = b // SLICE_BITS, b % SLICE_BITS
+        bit_sum = (
+            f"LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], wh{k}), "
+            f"(acc, h) -> acc + 2 * ((h // {1 << bb}) % 2) - 1)"
+        )
+        parts.append(
+            f"CASE WHEN {bit_sum} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        )
+    sig = " + ".join(parts)
+    return (
+        f"__wh AS (SELECT {id_col}, {wh} FROM {source_sql}), "
+        f"sh AS (SELECT {id_col}, {sig} AS sig FROM __wh)"
+    )
+
+
+def sql_hamming_pairs(
+    id_col: str,
+    bits: int = BITS,
+    blocks: int = 6,
+    key_blocks: int = 2,
+    max_distance: int = 4,
+) -> str:
+    """SELECT over CTE ``sh(id, sig)``: (id_a, id_b, hamming),
+    bit-identical to :func:`hamming_band_pairs`."""
+    w = bits // blocks
+    combos = _combos(blocks, key_blocks)
+
+    # POWER returns DOUBLE; 2^(w*(blocks-1)) <= 2^50 is double-exact, so
+    # the BIGINT cast is lossless before the integer division
+    def chunk(b: int) -> str:
+        return f"((sig // CAST(POWER({1 << w}, {b}) AS BIGINT)) % {1 << w})"
+
+    branches = " ".join(
+        "WHEN {} THEN {}".format(
+            ci,
+            " + ".join(
+                f"{chunk(b)} * {(1 << w) ** i}" for i, b in enumerate(combo)
+            ),
+        )
+        for ci, combo in enumerate(combos)
+    )
+    cmb_list = ", ".join(str(i) for i in range(len(combos)))
+    keys = (
+        f"SELECT {id_col}, u.cmb, CASE u.cmb {branches} END AS kv "
+        f"FROM sh, UNNEST([{cmb_list}]) AS u(cmb)"
+    )
+    return f"""
+    SELECT cand.id_a, cand.id_b,
+           CAST(BIT_COUNT(XOR(sa.sig, sb.sig)) AS INT) AS hamming
+    FROM (
+      SELECT DISTINCT a.{id_col} AS id_a, c.{id_col} AS id_b
+      FROM ({keys}) a
+      JOIN ({keys}) c
+        ON a.cmb = c.cmb AND a.kv = c.kv AND a.{id_col} < c.{id_col}
+    ) cand
+    JOIN sh sa ON sa.{id_col} = cand.id_a
+    JOIN sh sb ON sb.{id_col} = cand.id_b
+    WHERE BIT_COUNT(XOR(sa.sig, sb.sig)) <= {max_distance}
+    """

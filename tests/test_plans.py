@@ -318,3 +318,25 @@ def test_pagerank_all_jvm_bounded_joins(spark, registry):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hamming_pairs_equi_join_no_python(spark, registry):
+    """Hamming near-dup: candidate generation must be a (band, chunk)
+    equi-join — never a cartesian/nested-loop pass — and the signature
+    + popcount verify stay JVM-side."""
+    p = plan(registry["dedup_simhash_hamming"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_incremental_agg_is_union_plus_one_aggregate(spark, registry):
+    """Incremental agg maintenance: state ∪ signed deltas must fold in
+    ONE final hash aggregate (map-side partials) with no join in the
+    merge itself and nothing in Python."""
+    df = registry["q_incremental_agg_maintain"].spark(spark, SF)
+    p = plan(df)
+    assert "Union" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -693,6 +693,76 @@ def main():
         n_edges,
     )
 
+    # Hamming-radius near-dup (round 6c): signature is 60 map-side bit
+    # aggregates; candidates are a 6-band equi-join. inflate() copies
+    # differ from their base by ONE token, so every copy-pair would be
+    # within the radius and the pair OUTPUT quadratic in the multiplier
+    # (the same hazard inflate() regenerates embeddings for) -- probe
+    # text is therefore regenerated as fresh deterministic vocabulary
+    # per doc, measuring linear content growth
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        hamming as HMM,
+    )
+
+    hm_docs = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.concat(
+                    F.lit("t"),
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id"), i), F.lit(50_000)
+                    ).cast("string"),
+                ),
+            ),
+            " ",
+        ),
+    )
+    hm_sigs = HMM.simhash60(hm_docs, "doc_id", "text").localCheckpoint()
+    timed(
+        "hamming_sig60(simhash)",
+        lambda: hm_sigs.count(),
+        n_docs,
+    )
+    timed(
+        "hamming_band_pairs(d<=5)",
+        lambda: HMM.hamming_band_pairs(hm_sigs, max_distance=5).count(),
+        n_docs,
+    )
+
+    # Incremental agg maintenance (round 6c): cost must track the CDC
+    # batch + group cardinality, not the snapshot -- probe with a fixed
+    # ~2% mutation rate over the inflated doc table
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        diff as DIF,
+        incragg as IA,
+    )
+
+    ia_base = docs.select(
+        "doc_id", "source", (F.col("doc_id") % 1000).alias("m")
+    )
+    ia_old = ia_base.where(F.pmod(F.col("doc_id"), 53) != 0)
+    ia_new = ia_base.where(F.pmod(F.col("doc_id"), 47) != 0).withColumn(
+        "m",
+        F.when(F.pmod(F.col("doc_id"), 41) == 0, F.col("m") + 5).otherwise(
+            F.col("m")
+        ),
+    )
+    ia_state = IA.group_agg_state(ia_old, "source", "m").localCheckpoint()
+    timed(
+        "incragg_maintain(cdc+merge)",
+        lambda: IA.incremental_agg_maintain(
+            ia_state,
+            DIF.snapshot_diff(
+                ia_old, ia_new, keys=["doc_id"], compare_cols=["source", "m"]
+            ),
+            "source",
+            "m",
+        ).count(),
+        n_docs,
+    )
+
 
 if __name__ == "__main__":
     main()
