@@ -74,6 +74,7 @@ EXTENDED = [
     "q_pagerank_topk",
     "dedup_simhash_hamming",
     "q_incremental_agg_maintain",
+    "q_interval_overlap_join",
 ]
 
 

@@ -171,17 +171,12 @@ def hamming_band_pairs(
     w = bits // blocks
     s = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     s = s.localCheckpoint()  # feeds key explode + both verify joins
-
-    def chunk(b: int):
-        return (F.col("_sig") / F.lit(1 << (w * b))).cast("long") % (1 << w)
-
-    keys = F.array(
-        *[
-            sum(chunk(b) * F.lit((1 << w) ** i) for i, b in enumerate(combo))
-            for combo in _combos(blocks, key_blocks)
-        ]
+    banded = s.select(
+        "_id",
+        F.posexplode(_key_array("_sig", bits, blocks, key_blocks)).alias(
+            "cmb", "key"
+        ),
     )
-    banded = s.select("_id", F.posexplode(keys).alias("cmb", "key"))
     cand = (
         banded.alias("a")
         .join(
@@ -203,6 +198,122 @@ def hamming_band_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_distance)
+    )
+
+
+def _key_array(sig_col: str, bits: int, blocks: int, key_blocks: int):
+    """array<long> of the C(blocks, key_blocks) compound band keys."""
+    w = bits // blocks
+
+    def chunk(b: int):
+        return F.shiftright(F.col(sig_col), w * b).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    return F.array(
+        *[
+            sum(chunk(b) * F.lit((1 << w) ** i) for i, b in enumerate(combo))
+            for combo in _combos(blocks, key_blocks)
+        ]
+    )
+
+
+def incremental_hamming_pairs(
+    store_sigs: DataFrame,
+    incoming_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bits: int = BITS,
+    blocks: int = 6,
+    key_blocks: int = 2,
+    max_distance: int = 4,
+) -> DataFrame:
+    """Continuous-ingestion form: incoming batch × accumulated store
+    only (never incoming², never store²): (incoming_id, store_id,
+    hamming). Same compound-key recall guarantee; per-batch cost is the
+    batch's key explode + one equi-join against the store's
+    (persistable) key table.
+    """
+    if max_distance > blocks - key_blocks:
+        raise ValueError(
+            f"max_distance={max_distance} breaks the pigeonhole recall "
+            f"guarantee: need max_distance <= blocks - key_blocks = "
+            f"{blocks - key_blocks}"
+        )
+
+    def keyed(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(sig_col).alias(f"_{out_id}_sig"),
+            F.posexplode(
+                _key_array(sig_col, bits, blocks, key_blocks)
+            ).alias("cmb", "key"),
+        )
+
+    n = keyed(incoming_sigs, "incoming_id")
+    st = keyed(store_sigs, "store_id")
+    ham = F.bit_count(
+        F.col("_incoming_id_sig").bitwiseXOR(F.col("_store_id_sig"))
+    ).cast("int")
+    return (
+        n.join(st, ["cmb", "key"])
+        .select("incoming_id", "store_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
+def hamming_dedup_stream(
+    doc_stream: DataFrame,
+    initial_store: DataFrame,
+    max_distance: int = 4,
+) -> DataFrame:
+    """Streaming ingest gate over an accumulating SimHash store — the
+    Hamming twin of streaming/stream.incremental_dedup_stream (same
+    foreachBatch contract, same admission semantics): each micro-batch
+    is signatured once, banded against the store as of that batch,
+    flagged pairs reported, clean docs admitted so later batches dedup
+    against them. Accumulated state is the (id, sig) table — 16 bytes a
+    doc; a production deployment persists it per admitted batch exactly
+    like the durable MinHash store. Returns all flagged
+    (incoming_id, store_id, hamming) as a batch DataFrame.
+    """
+    spark = doc_stream.sparkSession
+    state = {
+        "sigs": simhash60(
+            initial_store.select("doc_id", "text"), "doc_id", "text"
+        ).localCheckpoint()
+    }
+    flagged: list = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_sigs = simhash60(
+            batch_df.select("doc_id", "text"), "doc_id", "text"
+        ).localCheckpoint()
+        pairs = incremental_hamming_pairs(
+            state["sigs"], batch_sigs, max_distance=max_distance
+        ).collect()
+        flagged.extend((r.incoming_id, r.store_id, r.hamming) for r in pairs)
+        dup_ids = {p[0] for p in pairs}
+        admitted = batch_sigs.where(
+            ~F.col("doc_id").isin(list(dup_ids)) if dup_ids else F.lit(True)
+        )
+        state["sigs"] = (
+            state["sigs"].unionByName(admitted).localCheckpoint()
+        )
+
+    q = doc_stream.writeStream.outputMode("append").foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    schema = "incoming_id long, store_id long, hamming int"
+    return (
+        spark.createDataFrame(flagged, schema)
+        if flagged
+        else spark.createDataFrame([], schema)
     )
 
 
@@ -234,15 +345,14 @@ def sql_simhash60_ctes(source_sql: str, id_col: str, text_expr: str) -> str:
     )
 
 
-def sql_hamming_pairs(
+def sql_hamming_keys(
     id_col: str,
     bits: int = BITS,
     blocks: int = 6,
     key_blocks: int = 2,
-    max_distance: int = 4,
 ) -> str:
-    """SELECT over CTE ``sh(id, sig)``: (id_a, id_b, hamming),
-    bit-identical to :func:`hamming_band_pairs`."""
+    """SELECT over CTE ``sh(id, sig)``: (id, cmb, kv) compound band
+    keys, bit-identical to :func:`_key_array`."""
     w = bits // blocks
     combos = _combos(blocks, key_blocks)
 
@@ -265,6 +375,19 @@ def sql_hamming_pairs(
         f"SELECT {id_col}, u.cmb, CASE u.cmb {branches} END AS kv "
         f"FROM sh, UNNEST([{cmb_list}]) AS u(cmb)"
     )
+    return keys
+
+
+def sql_hamming_pairs(
+    id_col: str,
+    bits: int = BITS,
+    blocks: int = 6,
+    key_blocks: int = 2,
+    max_distance: int = 4,
+) -> str:
+    """SELECT over CTE ``sh(id, sig)``: (id_a, id_b, hamming),
+    bit-identical to :func:`hamming_band_pairs`."""
+    keys = sql_hamming_keys(id_col, bits, blocks, key_blocks)
     return f"""
     SELECT cand.id_a, cand.id_b,
            CAST(BIT_COUNT(XOR(sa.sig, sb.sig)) AS INT) AS hamming

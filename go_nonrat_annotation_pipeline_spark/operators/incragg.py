@@ -84,3 +84,43 @@ def incremental_agg_maintain(
         .agg(F.sum(n_col).alias(n_col), F.sum(total_col).alias(total_col))
         .where(F.col(n_col) > 0)
     )
+
+
+def incremental_agg_stream(
+    cdc_stream: DataFrame,
+    initial_state: DataFrame,
+    group_col: str,
+    measure_col: str,
+) -> DataFrame:
+    """Streaming form: a stream of CDC rows (snapshot_diff columns)
+    folds into the maintained state micro-batch by micro-batch via
+    foreachBatch — the foreachBatch → MERGE posture with the merge
+    being :func:`incremental_agg_maintain`.
+
+    Count/sum deltas COMMUTE, so the final state is independent of how
+    the CDC rows are batched or ordered — no batch pinning needed for
+    determinism (unlike the order-dependent dedup admission streams).
+    Returns the final state as a batch DataFrame.
+    """
+    state = {"agg": initial_state.localCheckpoint()}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state["agg"] = incremental_agg_maintain(
+            state["agg"],
+            batch_df.localCheckpoint(),
+            group_col,
+            measure_col,
+        ).localCheckpoint()
+
+    q = (
+        cdc_stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return state["agg"]

@@ -101,3 +101,54 @@ def test_parameter_guards():
         HM.hamming_band_pairs(None, bits=60, blocks=7)
     with pytest.raises(ValueError, match="recall"):
         HM.hamming_band_pairs(None, bits=60, blocks=6, key_blocks=2, max_distance=5)
+
+
+def test_incremental_pairs_only_cross_store(spark):
+    """Incremental form joins incoming x store only: dup pairs inside
+    the incoming batch itself are NOT emitted (they are the batch
+    dedup's job, not the admission gate's)."""
+    store = spark.createDataFrame(
+        [(1, 7), (2, 63 << 30)], "doc_id long, sig long"
+    )
+    incoming = spark.createDataFrame(
+        [(10, 7), (11, 6), (12, (42 << 50) + 31)], "doc_id long, sig long"
+    )
+    got = {
+        (r.incoming_id, r.store_id, r.hamming)
+        for r in HM.incremental_hamming_pairs(store, incoming).collect()
+    }
+    # doc 12 is >4 bits from both store sigs; the exact (10, 11) dup
+    # pair inside the batch is not emitted
+    assert got == {(10, 1, 0), (11, 1, 1)}
+
+
+def test_stream_admission_blocks_later_batches(spark, tmp_path):
+    """A doc admitted in batch 1 must flag its near-dup in batch 2 —
+    the accumulating-store semantics."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    store0 = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    batches = [
+        [(10, "completely different words entirely")],   # admitted
+        [(20, "completely different words entirely")],   # dup of 10
+    ]
+    staged = str(tmp_path / "in")
+    os.makedirs(staged)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = str(tmp_path / f"t{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(staged, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    out = HM.hamming_dedup_stream(stream, store0, max_distance=4)
+    got = {(r.incoming_id, r.store_id) for r in out.collect()}
+    assert got == {(20, 10)}

@@ -57,3 +57,39 @@ def test_null_group_and_measure_are_maintained(spark):
     maintained, recomputed = _maintained_vs_recomputed(spark, old, new)
     assert maintained.exceptAll(recomputed).isEmpty()
     assert recomputed.exceptAll(maintained).isEmpty()
+
+
+def test_stream_batching_invariance(spark, tmp_path):
+    """The streaming fold must reach the same state for ANY batching of
+    the same CDC rows (deltas commute) — checked against the batch
+    operator AND a direct recompute."""
+    import pyspark.sql.functions as F
+
+    old = [(k, "g" + str(k % 3), k * 10) for k in range(30)]
+    new = [
+        (k, "g" + str((k + (1 if k % 7 == 0 else 0)) % 3),
+         k * 10 + (5 if k % 5 == 0 else 0))
+        for k in range(2, 34)
+    ]
+    schema = "k long, grp string, m long"
+    old_df = spark.createDataFrame(old, schema)
+    new_df = spark.createDataFrame(new, schema)
+    state0 = IA.group_agg_state(old_df, "grp", "m")
+    cdc = DF_.snapshot_diff(old_df, new_df, keys=["k"], compare_cols=["grp", "m"])
+    want = {(r.grp, r.n, r.total) for r in IA.group_agg_state(new_df, "grp", "m").collect()}
+    for n_batches in (1, 4):
+        staged = str(tmp_path / f"cdc_{n_batches}")
+        cdc.withColumn("_b", F.pmod(F.col("k"), F.lit(n_batches))).write.mode(
+            "overwrite"
+        ).partitionBy("_b").parquet(staged)
+        stream = (
+            spark.readStream.schema(
+                "k long, change_type string, grp_old string, grp_new string, "
+                "m_old long, m_new long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        out = IA.incremental_agg_stream(stream, state0, "grp", "m")
+        got = {(r.grp, r.n, r.total) for r in out.collect()}
+        assert got == want, f"batching={n_batches}"

@@ -340,3 +340,12 @@ def test_incremental_agg_is_union_plus_one_aggregate(spark, registry):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_interval_overlap_is_bin_equi_join(spark, registry):
+    """Interval x interval overlap: must be the bin equi-join, never
+    the BroadcastNestedLoopJoin a raw range-pair predicate lowers to."""
+    p = plan(registry["q_interval_overlap_join"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

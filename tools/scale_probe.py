@@ -763,6 +763,36 @@ def main():
         n_docs,
     )
 
+    # Interval-overlap join (round 6c): explode factor is bounded by
+    # len/bin_width + 1; join density per bin is data density
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        intervals as IV,
+    )
+
+    # inflate() keeps ts identical across copies, which would make the
+    # overlap OUTPUT quadratic in the multiplier (every a-copy x every
+    # b-copy of an overlapping base pair) -- shift each copy into its
+    # own 30-day window so the structure, not just the row count, scales
+    ev_us = F.unix_micros(F.col("ts")) + F.pmod(
+        F.col("event_id"), F.lit(mult)
+    ) * F.lit(2_592_000_000_000)
+    iv_a = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        ev_us.alias("a_start"),
+        (ev_us + (F.col("event_id") % 120 + 1) * 1_000_000).alias("a_end"),
+    )
+    iv_b = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        ev_us.alias("b_start"),
+        (ev_us + (F.col("event_id") % 300 + 1) * 1_000_000).alias("b_end"),
+    )
+    n_events = events.count()
+    timed(
+        "interval_overlap_join(bin equi-join)",
+        lambda: IV.interval_overlap_join(iv_a, iv_b, 600_000_000).count(),
+        n_events,
+    )
+
 
 if __name__ == "__main__":
     main()
