@@ -75,6 +75,7 @@ EXTENDED = [
     "dedup_simhash_hamming",
     "q_incremental_agg_maintain",
     "q_interval_overlap_join",
+    "q_dupspan_strip",
 ]
 
 

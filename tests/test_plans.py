@@ -349,3 +349,14 @@ def test_interval_overlap_is_bin_equi_join(spark, registry):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dupspan_no_pairwise_no_python(spark, registry):
+    """Duplicated-span dedup: doc-frequency aggregate + semi-join +
+    windowed coverage — nothing pairwise, nothing in Python."""
+    for name in ("q_dupspan_mass", "q_dupspan_strip"):
+        p = plan(registry[name].spark(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Window" in p

@@ -793,6 +793,27 @@ def main():
         n_events,
     )
 
+    # Duplicated-span dedup (round 6c): .count() would prune the
+    # coverage window -- force with a sum over an output column
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        dupspan as DSP,
+    )
+
+    timed(
+        "dupspan_mass(Lee et al.)",
+        lambda: DSP.duplicated_span_mass(docs, "doc_id", "text")
+        .agg(F.sum("dup_words"))
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "dupspan_strip(rewrite)",
+        lambda: DSP.strip_duplicated_spans(docs, "doc_id", "text")
+        .agg(F.sum("n_dropped"))
+        .collect(),
+        n_docs,
+    )
+
 
 if __name__ == "__main__":
     main()
