@@ -71,8 +71,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   dedup_clusters_minlabel, dedup_embedding_bucketed_kernel,
 #   sim_ivf_trained_kernel, mm_resize, q_cube_status_priority,
 #   q_scalar_subquery, q_multi_distinct;
-# - 24 never-attested round-6 additions (modules queries_dsir through
-#   queries_dupspan below): q_dsir_bucket_weights, q_dsir_scores,
+# - 25 never-attested round-6 additions (modules queries_dsir through
+#   queries_substring_e2e below): q_dsir_bucket_weights, q_dsir_scores,
 #   q_dsir_select, q_boilerplate_freq, q_boilerplate_strip,
 #   q_ann_recall, q_csv_roundtrip, q_dedup_recall, stream_dsir_score,
 #   q_shuffle_shards, corpus_build_e2e, q_lm_perplexity_bucket,
@@ -80,8 +80,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   dedup_simhash_hamming, mm_phash_neardup, q_hamming_cluster_sizes,
 #   q_incremental_agg_maintain, q_interval_overlap_join,
 #   stream_hamming_dedup, stream_incremental_agg, q_dupspan_mass,
-#   q_dupspan_strip;
-# - the remaining ~23 slots drain the r4-stale tail (rows last green in
+#   q_dupspan_strip, corpus_substring_e2e;
+# - the remaining ~22 slots drain the r4-stale tail (rows last green in
 #   CORRECTNESS_r04).
 WINDOW_R6 = [
     # -- the four r5 reds, oracle CAST fixed this round --
@@ -222,6 +222,7 @@ def all_queries() -> dict[str, Q]:
         queries_intervals,
         queries_streaming_r6c,
         queries_dupspan,
+        queries_substring_e2e,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]

@@ -360,3 +360,12 @@ def test_dupspan_no_pairwise_no_python(spark, registry):
         assert "BroadcastNestedLoopJoin" not in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "Window" in p
+
+
+def test_substring_e2e_composes_clean(spark, registry):
+    """Substring-dedup funnel: the full composition stays free of
+    cartesian/nested-loop passes and Python."""
+    p = plan(registry["corpus_substring_e2e"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
