@@ -223,6 +223,7 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_r6c,
         queries_dupspan,
         queries_substring_e2e,
+        queries_packing,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
