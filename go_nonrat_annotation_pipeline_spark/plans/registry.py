@@ -224,6 +224,7 @@ def all_queries() -> dict[str, Q]:
         queries_dupspan,
         queries_substring_e2e,
         queries_packing,
+        queries_mixture,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
