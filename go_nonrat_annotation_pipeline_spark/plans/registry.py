@@ -225,6 +225,7 @@ def all_queries() -> dict[str, Q]:
         queries_substring_e2e,
         queries_packing,
         queries_mixture,
+        queries_scd,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
