@@ -226,6 +226,7 @@ def all_queries() -> dict[str, Q]:
         queries_packing,
         queries_mixture,
         queries_scd,
+        queries_ppjoin,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
