@@ -76,6 +76,12 @@ EXTENDED = [
     "q_incremental_agg_maintain",
     "q_interval_overlap_join",
     "q_dupspan_strip",
+    # round 6, continuation session: packing / temperature mixture /
+    # SCD2 / prefix-filtered exact similarity join
+    "q_pack_sequences",
+    "q_mixture_temperature_sample",
+    "q_scd2_history",
+    "q_simjoin_pairs",
 ]
 
 

@@ -71,8 +71,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   dedup_clusters_minlabel, dedup_embedding_bucketed_kernel,
 #   sim_ivf_trained_kernel, mm_resize, q_cube_status_priority,
 #   q_scalar_subquery, q_multi_distinct;
-# - 25 never-attested round-6 additions (modules queries_dsir through
-#   queries_substring_e2e below): q_dsir_bucket_weights, q_dsir_scores,
+# - 33 never-attested round-6 additions (modules queries_dsir through
+#   queries_ppjoin below): q_dsir_bucket_weights, q_dsir_scores,
 #   q_dsir_select, q_boilerplate_freq, q_boilerplate_strip,
 #   q_ann_recall, q_csv_roundtrip, q_dedup_recall, stream_dsir_score,
 #   q_shuffle_shards, corpus_build_e2e, q_lm_perplexity_bucket,
@@ -80,9 +80,12 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   dedup_simhash_hamming, mm_phash_neardup, q_hamming_cluster_sizes,
 #   q_incremental_agg_maintain, q_interval_overlap_join,
 #   stream_hamming_dedup, stream_incremental_agg, q_dupspan_mass,
-#   q_dupspan_strip, corpus_substring_e2e;
-# - the remaining ~22 slots drain the r4-stale tail (rows last green in
-#   CORRECTNESS_r04).
+#   q_dupspan_strip, corpus_substring_e2e, q_pack_doc_spans,
+#   q_pack_sequences, q_mixture_temperature,
+#   q_mixture_temperature_sample, q_scd2_history, q_scd2_current,
+#   q_simjoin_pairs, q_simjoin_prune_stats;
+# - the remaining ~10 slots start draining the r4-stale tail (rows last
+#   green in CORRECTNESS_r04); the rest of that tail is round 8's.
 WINDOW_R6 = [
     # -- the four r5 reds, oracle CAST fixed this round --
     "q_rare_token_ratio",
@@ -227,6 +230,7 @@ def all_queries() -> dict[str, Q]:
         queries_mixture,
         queries_scd,
         queries_ppjoin,
+        queries_calibrate,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]

@@ -814,6 +814,44 @@ def main():
         n_docs,
     )
 
+    # Round-6 continuation: packing / temperature mixture / SCD2 /
+    # prefix-filtered exact similarity join. Packing and mixture are
+    # map-side + one window/aggregate — expected linear. The ppjoin
+    # probe is the important one: candidate generation must stay
+    # funnel-shaped as the corpus grows (inflate() appends a per-copy
+    # token, so cross-copy shingle Jaccard stays below threshold and
+    # the OUTPUT stays ~mult-linear while candidates are the measured
+    # hazard).
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        mixture as MX,
+        packing as PK,
+        ppjoin as PJ,
+        scd as SC,
+    )
+
+    timed(
+        "pack_sequence_report(window+explode)",
+        lambda: PK.pack_sequence_report(docs)
+        .agg(F.sum("n_tokens"))
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "temperature_sample(k-row broadcast gate)",
+        lambda: MX.temperature_sample(docs).count(),
+        n_docs,
+    )
+    timed(
+        "scd2_history(one keyed window)",
+        lambda: SC.scd2_history(events).agg(F.sum("version")).collect(),
+        n_events,
+    )
+    timed(
+        "ppjoin_similarity(prefix-filtered exact)",
+        lambda: PJ.similarity_join(docs).count(),
+        n_docs,
+    )
+
 
 if __name__ == "__main__":
     main()
