@@ -231,6 +231,7 @@ def all_queries() -> dict[str, Q]:
         queries_scd,
         queries_ppjoin,
         queries_calibrate,
+        queries_streaming_scd,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]

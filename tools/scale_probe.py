@@ -72,6 +72,8 @@ def timed(name: str, fn, n_rows: int):
         print(f"{name:28s} FAILED {dt:7.2f}s   {repr(e)[:140]}")
         return
     dt = time.perf_counter() - t0
+    if not isinstance(out_rows, int):  # .collect() probes return rows
+        out_rows = len(out_rows)
     print(f"{name:28s} {dt:7.2f}s   in={n_rows:>9,}   out={out_rows:>9,}   {n_rows/dt:>12,.0f} rows/s")
 
 
@@ -726,8 +728,8 @@ def main():
         n_docs,
     )
     timed(
-        "hamming_band_pairs(d<=5)",
-        lambda: HMM.hamming_band_pairs(hm_sigs, max_distance=5).count(),
+        "hamming_band_pairs(d<=4)",
+        lambda: HMM.hamming_band_pairs(hm_sigs, max_distance=4).count(),
         n_docs,
     )
 
