@@ -82,6 +82,7 @@ EXTENDED = [
     "q_mixture_temperature_sample",
     "q_scd2_history",
     "q_simjoin_pairs",
+    "corpus_layout_e2e",
 ]
 
 

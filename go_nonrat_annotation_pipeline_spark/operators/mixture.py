@@ -79,6 +79,37 @@ def temperature_rates(
     )
 
 
+def sql_rates_ctes(
+    table: str = "documents", target_ppm: int = PPM // 2
+) -> str:
+    """DuckDB mirror of :func:`temperature_rates` as CTEs defining
+    ``rates`` (source, n_docs, w_sqrt, p_ppm, keep_ppm) — avoid the
+    names mx_n/mx_w/mx_tot/rates around it. ``table`` needs
+    (doc_id, source)."""
+    return f"""
+    mx_n AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM {table} GROUP BY source
+    ), mx_w AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS w_sqrt
+      FROM mx_n
+    ), mx_tot AS (
+      SELECT source, n_docs, w_sqrt,
+             CAST(SUM(w_sqrt) OVER () AS BIGINT) AS tw,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS tn
+      FROM mx_w
+    ), rates AS (
+      SELECT source, n_docs, w_sqrt,
+             CAST(w_sqrt * {PPM} // tw AS BIGINT) AS p_ppm,
+             CAST(LEAST({PPM}, (tn * {target_ppm} // {PPM})
+                  * (w_sqrt * {PPM} // tw) // {PPM}
+                  * {PPM} // n_docs) AS BIGINT) AS keep_ppm
+      FROM mx_tot
+    )
+"""
+
+
 def temperature_sample(
     docs: DataFrame,
     target_ppm: int = PPM // 2,

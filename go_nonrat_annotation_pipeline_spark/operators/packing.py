@@ -31,11 +31,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .sketches import hash60
+from .sketches import hash60, sql_hash60
 from .util import ensure_parallelism
 
 DEFAULT_SEQ_LEN = 64
 DEFAULT_SHARDS = 8
+
+
+def sql_spans_ctes(
+    table: str = "documents",
+    seq_len: int = DEFAULT_SEQ_LEN,
+    n_shards: int = DEFAULT_SHARDS,
+    salt: str = "epoch0",
+) -> str:
+    """DuckDB mirror of :func:`pack_doc_spans` as CTEs defining
+    ``spans2`` (doc_id, shard, off, tok, first_seq, last_seq) — avoid
+    the names pk_base/spans/spans2 around it. ``table`` needs
+    (doc_id, text)."""
+    h = sql_hash60(f"'{salt}|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    pk_base AS (
+      SELECT doc_id,
+             {h} AS h,
+             {h} % {n_shards} AS shard,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS tok
+      FROM {table}
+    ), spans AS (
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+             CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - tok
+                  AS BIGINT) AS off,
+             tok
+      FROM pk_base WHERE tok > 0
+    ), spans2 AS (
+      SELECT doc_id, shard, off, tok,
+             off // {seq_len} AS first_seq,
+             (off + tok - 1) // {seq_len} AS last_seq
+      FROM spans
+    )
+"""
 
 
 def _tok_count(text_col: str) -> F.Column:

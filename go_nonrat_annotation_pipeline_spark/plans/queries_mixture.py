@@ -17,28 +17,9 @@ from .registry import register
 _TARGET_PPM = MX.PPM // 2
 _SALT = "mix0"
 
-_RATES_CTES = f"""
-    n AS (
-      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY source
-    ), w AS (
-      SELECT source, n_docs,
-             CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS w_sqrt
-      FROM n
-    ), tot AS (
-      SELECT source, n_docs, w_sqrt,
-             CAST(SUM(w_sqrt) OVER () AS BIGINT) AS tw,
-             CAST(SUM(n_docs) OVER () AS BIGINT) AS tn
-      FROM w
-    ), rates AS (
-      SELECT source, n_docs, w_sqrt,
-             CAST(w_sqrt * {MX.PPM} // tw AS BIGINT) AS p_ppm,
-             CAST(LEAST({MX.PPM}, (tn * {_TARGET_PPM} // {MX.PPM})
-                  * (w_sqrt * {MX.PPM} // tw) // {MX.PPM}
-                  * {MX.PPM} // n_docs) AS BIGINT) AS keep_ppm
-      FROM tot
-    )
-"""
+# parametrized in operators/mixture.sql_rates_ctes so the layout E2E
+# can derive rates over its quality-selected intermediate
+_RATES_CTES = MX.sql_rates_ctes("documents", _TARGET_PPM)
 
 
 @register(

@@ -10,7 +10,6 @@ counts) — nothing trips the driver's typed-hash boundary.
 from __future__ import annotations
 
 from ..operators import packing as P
-from ..operators.sketches import sql_hash60
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -18,32 +17,11 @@ _L = P.DEFAULT_SEQ_LEN
 _SHARDS = P.DEFAULT_SHARDS
 _SALT = "epoch0"
 
-_H = sql_hash60(f"'{_SALT}|' || CAST(doc_id AS VARCHAR)")
-
 # Shared oracle CTE: per-doc (shard, exclusive offset, token count,
-# first/last sequence) — the window mirror of pack_doc_spans.
-_SPANS_CTES = f"""
-    base AS (
-      SELECT doc_id,
-             {_H} AS h,
-             {_H} % {_SHARDS} AS shard,
-             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
-                  AS BIGINT) AS tok
-      FROM documents
-    ), spans AS (
-      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
-             CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY h, doc_id
-                                 ROWS UNBOUNDED PRECEDING) - tok
-                  AS BIGINT) AS off,
-             tok
-      FROM base WHERE tok > 0
-    ), spans2 AS (
-      SELECT doc_id, shard, off, tok,
-             off // {_L} AS first_seq,
-             (off + tok - 1) // {_L} AS last_seq
-      FROM spans
-    )
-"""
+# first/last sequence) — the window mirror of pack_doc_spans
+# (parametrized in operators/packing.sql_spans_ctes so the layout E2E
+# can run the same model over its selected-subset intermediate).
+_SPANS_CTES = P.sql_spans_ctes("documents", _L, _SHARDS, _SALT)
 
 
 @register(

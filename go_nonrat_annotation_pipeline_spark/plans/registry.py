@@ -232,6 +232,7 @@ def all_queries() -> dict[str, Q]:
         queries_ppjoin,
         queries_calibrate,
         queries_streaming_scd,
+        queries_layout_e2e,
     )
 
     missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
