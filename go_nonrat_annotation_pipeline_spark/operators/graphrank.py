@@ -43,12 +43,19 @@ def pagerank_fixed_point(
     (operators/graph.co_occurrence_edges). The single driver-side
     action is the node COUNT (one scalar).
     """
+    # Pin the symmetrized edge table ONCE: it is referenced in every
+    # iteration, and without the checkpoint each reference re-executes
+    # the whole upstream edge-builder (explode/distinct/aggregate).
+    # No distinct here: edges is a DISTINCT a < b table (the
+    # co_occurrence_edges contract), so the two directions are disjoint
+    # by construction and deduplicating the union would be one wasted
+    # corpus-sized shuffle.
     sym = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        .distinct()
+        .localCheckpoint()
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     n = deg.count()
@@ -56,7 +63,7 @@ def pagerank_fixed_point(
     teleport = (_D_DEN - _D_NUM) * base // _D_DEN
     # Rename-before-join: sym/deg/ranks share lineage, so qualified
     # self-join columns would be ambiguous to the analyzer.
-    node_deg = deg.select(F.col("u").alias("node"), "degree")
+    node_deg = deg.select(F.col("u").alias("node"), "degree").localCheckpoint()
     ranks = node_deg.select("node", F.lit(base).alias("r"))
     for _ in range(iters):
         contrib = (

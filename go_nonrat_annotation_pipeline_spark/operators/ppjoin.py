@@ -67,7 +67,17 @@ def prefix_tokens(
     """The prefix cut: the first ``len - ceil(t·len) + 1`` shingles of
     each document under the global (df asc, token asc) ordering.
     Columns: ``id_col, token``."""
-    toks = _doc_tokens(docs, id_col, text_col)
+    return _prefix_from_tokens(
+        _doc_tokens(docs, id_col, text_col), t_ppm, id_col
+    )
+
+
+def _prefix_from_tokens(
+    toks: DataFrame, t_ppm: int, id_col: str
+) -> DataFrame:
+    """Prefix cut over an already-materialized (id, token) table — the
+    md5 shingle hashing is the expensive map stage, so similarity_join
+    computes it exactly once and derives everything from it."""
     df_tbl = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -106,7 +116,9 @@ def similarity_join(
     Columns: ``id_a, id_b (id_a < id_b), inter, uni, jac_ppm``.
     """
     toks = _doc_tokens(docs, id_col, text_col).localCheckpoint()
-    pref = prefix_tokens(docs, t_ppm, id_col, text_col)
+    # Pin the prefix cut too: it is the self-join's BOTH sides, and
+    # unpinned each side would re-run the df aggregate + per-doc window.
+    pref = _prefix_from_tokens(toks, t_ppm, id_col).localCheckpoint()
     a = pref.select(F.col(id_col).alias("id_a"), "token")
     b = pref.select(F.col(id_col).alias("id_b"), "token")
     cands = (

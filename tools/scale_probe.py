@@ -63,6 +63,30 @@ def inflate(df, id_col: str, mult: int):
     return out.drop("_copy").repartition(64).localCheckpoint()
 
 
+def salt_copies(docs, mult: int, id_col: str = "doc_id", text_col: str = "text"):
+    """Text twin of inflate()'s fresh-embedding rule: suffix EVERY word
+    with the copy index (recovered from the inflate() id arithmetic,
+    copy = id mod mult), so the mult copies of a document share no
+    shingles with each other. Without this, every copy family is a
+    planted near-dup clique and an exact pair-emitting text operator's
+    output — and, worse, its verify-join cost — grows ~mult² per
+    family: the probe would measure clique verification, not candidate
+    growth. The suffix is document-independent within one copy, so true
+    near-dup pairs are exactly mult × the original corpus's pairs —
+    linear truth, which is what a content-growth probe needs."""
+    salt = F.pmod(F.col(id_col), F.lit(mult)).cast("string")
+    return docs.withColumn(
+        text_col,
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col(text_col), " "),
+                lambda w: F.concat(w, F.lit("~"), salt),
+            ),
+        ),
+    )
+
+
 def timed(name: str, fn, n_rows: int):
     t0 = time.perf_counter()
     try:
@@ -153,9 +177,57 @@ def drain_probe(n: int = 8000, dim: int = 16, k: int = 8, cap: int = 400):
     )
 
 
+def tail6_probe(mult: int = 20):
+    """Only the round-6-continuation rows (packing / mixture / SCD2 /
+    ppjoin) — the full table takes ~20 min at 20×; this is the fast
+    path for iterating on the newest families. ppjoin runs on
+    salt_copies() text (see its docstring): linear truth, so the row
+    measures the prefix filter's candidate funnel as the corpus grows
+    rather than mult²-pair clique verification."""
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        mixture as MX,
+        packing as PK,
+        ppjoin as PJ,
+        scd as SC,
+    )
+
+    docs = inflate(load_table(spark, SF_DIR, "documents"), "doc_id", mult)
+    events = inflate(load_table(spark, SF_DIR, "events"), "event_id", mult)
+    n_docs, n_events = docs.count(), events.count()
+    print(f"corpus: {n_docs:,} docs, {n_events:,} events  (x{mult})")
+    timed(
+        "pack_sequence_report(window+explode)",
+        lambda: PK.pack_sequence_report(docs)
+        .agg(F.sum("n_tokens"))
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "temperature_sample(k-row broadcast gate)",
+        lambda: MX.temperature_sample(docs).count(),
+        n_docs,
+    )
+    timed(
+        "scd2_history(one keyed window)",
+        lambda: SC.scd2_history(events).agg(F.sum("version")).collect(),
+        n_events,
+    )
+    docs_salted = salt_copies(docs, mult).localCheckpoint()
+    timed(
+        "ppjoin_similarity(prefix-filtered exact)",
+        lambda: PJ.similarity_join(docs_salted).count(),
+        n_docs,
+    )
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "drain":
         drain_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "tail6":
+        tail6_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark("scale_probe")
@@ -818,12 +890,14 @@ def main():
 
     # Round-6 continuation: packing / temperature mixture / SCD2 /
     # prefix-filtered exact similarity join. Packing and mixture are
-    # map-side + one window/aggregate — expected linear. The ppjoin
-    # probe is the important one: candidate generation must stay
-    # funnel-shaped as the corpus grows (inflate() appends a per-copy
-    # token, so cross-copy shingle Jaccard stays below threshold and
-    # the OUTPUT stays ~mult-linear while candidates are the measured
-    # hazard).
+    # map-side + one window/aggregate — expected linear. ppjoin is
+    # exact (it must VERIFY every candidate pair), so it runs on
+    # salt_copies() text: inflate()'s near-identical copies would plant
+    # C(mult,2) true pairs per document and the verify join — candidate
+    # pairs × shingles/doc — would dominate the row with clique
+    # verification cost no filter can avoid. Salted, the truth is
+    # mult-linear and the row measures what matters at scale: that the
+    # prefix filter's candidate count tracks the true pair count.
     from go_nonrat_annotation_pipeline_spark.operators import (
         mixture as MX,
         packing as PK,
@@ -848,9 +922,10 @@ def main():
         lambda: SC.scd2_history(events).agg(F.sum("version")).collect(),
         n_events,
     )
+    docs_salted = salt_copies(docs, mult).localCheckpoint()
     timed(
         "ppjoin_similarity(prefix-filtered exact)",
-        lambda: PJ.similarity_join(docs).count(),
+        lambda: PJ.similarity_join(docs_salted).count(),
         n_docs,
     )
 
