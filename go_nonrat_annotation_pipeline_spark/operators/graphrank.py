@@ -39,9 +39,15 @@ def pagerank_fixed_point(
 ) -> DataFrame:
     """(rank, node, r_fp): top-k nodes by fixed-point PageRank.
 
-    ``edges`` is the undirected (a < b) co-occurrence table
-    (operators/graph.co_occurrence_edges). The single driver-side
-    action is the node COUNT (one scalar).
+    PRECONDITION: ``edges`` must be a DISTINCT undirected edge table
+    with ``a < b`` on every row (no duplicates, no reversed copies, no
+    self-loops) — exactly the operators/graph.co_occurrence_edges
+    contract. The symmetrizing union below relies on it: the two
+    directions are disjoint by construction, so no dedup shuffle is
+    spent. Input violating the contract silently inflates degrees and
+    ranks (the DuckDB mirror sql_pagerank_ctes dedups via UNION, so a
+    violation shows up as a cross-engine mismatch, not an error).
+    The single driver-side action is the node COUNT (one scalar).
     """
     # Pin the symmetrized edge table ONCE: it is referenced in every
     # iteration, and without the checkpoint each reference re-executes

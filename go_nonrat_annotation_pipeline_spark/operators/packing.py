@@ -122,10 +122,11 @@ def pack_doc_spans(
         "shard",
         "off",
         "tok",
-        (F.col("off") / seq_len).cast("long").alias("first_seq"),
-        ((F.col("off") + F.col("tok") - 1) / seq_len)
-        .cast("long")
-        .alias("last_seq"),
+        # integer DIV, not float division: for offsets beyond ~2^51
+        # tokens the rounded double quotient can cross an integer
+        # boundary and diverge from the oracle's `//` (ADVICE r6)
+        F.expr(f"off DIV {int(seq_len)}").alias("first_seq"),
+        F.expr(f"(off + tok - 1) DIV {int(seq_len)}").alias("last_seq"),
     )
     return spans.withColumn(
         "n_seqs", (F.col("last_seq") - F.col("first_seq") + 1).cast("long")

@@ -48,9 +48,20 @@ def scd2_history(
         us.alias("ts_us"),
         F.col(id_col).alias("_tie"),
     )
+    # Null-safe run collapse: lag(attr) is NULL both for "no previous
+    # row" and "previous attr is NULL", so first-row detection rides an
+    # explicit row_number and attr comparison is null-safe — a NULL
+    # tracked attribute is a legal value that forms runs like any other
+    # (and the streaming twin's open-state merge stays exactly
+    # batch-equivalent, scd_stream.py).
     w = Window.partitionBy(key_col).orderBy("ts_us", "_tie")
-    runs = base.withColumn("_prev", F.lag("attr").over(w)).where(
-        F.col("_prev").isNull() | (F.col("_prev") != F.col("attr"))
+    runs = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag("attr").over(w))
+        .where(
+            (F.col("_rn") == 1)
+            | ~F.col("_prev").eqNullSafe(F.col("attr"))
+        )
     )
     # run starts only; bounds + version over the SAME window spec
     w2 = Window.partitionBy(key_col).orderBy("ts_us", "_tie")
@@ -109,10 +120,12 @@ def sql_scd2_history_ctes(
     ), runs AS (
       SELECT * FROM (
         SELECT {key_col}, attr, ts_us, _tie,
+               ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                  ORDER BY ts_us, _tie) AS _rn,
                LAG(attr) OVER (PARTITION BY {key_col}
                                ORDER BY ts_us, _tie) AS _prev
         FROM base)
-      WHERE _prev IS NULL OR _prev <> attr
+      WHERE _rn = 1 OR _prev IS DISTINCT FROM attr
     ), scd AS (
       SELECT {key_col}, attr,
              ts_us AS valid_from_us,

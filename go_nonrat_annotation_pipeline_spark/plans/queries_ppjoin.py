@@ -53,7 +53,10 @@ def q_simjoin_pairs(spark, sf_dir):
 def q_simjoin_prune_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = PJ._doc_tokens(docs, "doc_id", "text").localCheckpoint()
-    pref = PJ.prefix_tokens(docs, _T_PPM)
+    # derive the prefix cut from the pinned token table — recomputing
+    # prefix_tokens(docs, ...) would redo the md5 shingle explode the
+    # checkpoint exists to pay for once (ADVICE r6)
+    pref = PJ._prefix_from_tokens(toks, _T_PPM, "doc_id")
     a = pref.select(F.col("doc_id").alias("id_a"), "token")
     b = pref.select(F.col("doc_id").alias("id_b"), "token")
     cands = (

@@ -76,12 +76,20 @@ def _stage_time_ordered(spark, events, root: str) -> str:
 def stream_scd2_dimension(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="stream_scd2_")
-    staged = _stage_time_ordered(spark, events, root)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, user_id long, ts timestamp, event_type string"
+    try:
+        staged = _stage_time_ordered(spark, events, root)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-    )
-    return scd2_dimension_stream(stream)
+        # scd2_dimension_stream drains the stream eagerly and returns a
+        # DataFrame rooted at localCheckpointed state, so the staging
+        # dir is dead weight the moment it returns — reclaim it instead
+        # of leaking a tempdir per bench/correctness run (ADVICE r6)
+        return scd2_dimension_stream(stream)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -75,25 +75,31 @@ def scd2_dimension_stream(
         )
         nruns = runs.groupBy(key_col).agg(F.max("version").alias("_n"))
         touched = first.join(nruns, key_col)
-        st = state["open"].join(
+        # presence flags, not attr nullness: a NULL tracked attribute
+        # in the open state is a legal value (batch scd2_history keeps
+        # it), so side-existence is carried as an explicit marker and
+        # the attr comparison is null-safe (ADVICE r6)
+        st = state["open"].withColumn("_open", F.lit(1)).join(
             touched, key_col, "full_outer"
         ).select(
             key_col,
             "attr",
             "valid_from_us",
             "version",
+            "_open",
             "_f_attr",
             "_f_from",
             "_f_to",
             "_n",
             (
-                F.col("attr").isNotNull() & (F.col("attr") == F.col("_f_attr"))
+                F.col("_open").isNotNull()
+                & F.col("attr").eqNullSafe(F.col("_f_attr"))
             ).alias("_match"),
         )
         # 1) open intervals that close this batch
         newly_closed = st.where(
             F.col("_n").isNotNull()
-            & F.col("attr").isNotNull()
+            & F.col("_open").isNotNull()
             & (~F.col("_match") | (F.col("_n") >= 2))
         ).select(
             key_col,
@@ -135,7 +141,7 @@ def scd2_dimension_stream(
         )
         # 3) open set: untouched keys + merged-n==1 keys + new last runs
         carried_open = st.where(
-            F.col("attr").isNotNull()
+            F.col("_open").isNotNull()
             & (F.col("_n").isNull() | (F.col("_match") & (F.col("_n") == 1)))
         ).select(key_col, "attr", "valid_from_us", "version")
         state["closed"] = (
