@@ -53,111 +53,99 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # window in the same commit. Otherwise a mid-round driver snapshot
 # races the edit.
 #
-# Round-6 window (exactly 50), per the round-5 VERDICT prescription:
-#   1-4   the four r5-red rows — same single root cause (oracle-side
-#         DuckDB SUM(int) → HUGEINT at the driver hash boundary),
-#         fixed this round with CAST(... AS BIGINT) in the oracle SQL
-#         only (Spark sides were already BIGINT; logic untouched)
-#   5     q_bpe_merges_batched — written r5 after the window, never
-#         attested, passes the local exact-value oracle
-#   6-17  the 12 r2-stale rows (rollup, consolidate a3/a4/a5, closure
-#         j04/j10, upsert a7/a8, window w1/w2, set_ops ×2) — code
-#         byte-unchanged since their green round
-#   18-50 33 of the 40 r3-stale rows, family order (dedup/components,
-#         multimodal, E2E pipelines, analytics/joins, sampling/
-#         curation, IVF, streaming, text)
-# Round-7 window candidates (kept current for rotation planning):
-# - 7 deferred r3-green twins of rows in this window:
-#   dedup_clusters_minlabel, dedup_embedding_bucketed_kernel,
-#   sim_ivf_trained_kernel, mm_resize, q_cube_status_priority,
-#   q_scalar_subquery, q_multi_distinct;
-# - 33 never-attested round-6 additions (modules queries_dsir through
-#   queries_ppjoin below): q_dsir_bucket_weights, q_dsir_scores,
-#   q_dsir_select, q_boilerplate_freq, q_boilerplate_strip,
-#   q_ann_recall, q_csv_roundtrip, q_dedup_recall, stream_dsir_score,
-#   q_shuffle_shards, corpus_build_e2e, q_lm_perplexity_bucket,
-#   q_oov_rate, q_mixture_drift_kl, q_pagerank_topk,
-#   dedup_simhash_hamming, mm_phash_neardup, q_hamming_cluster_sizes,
-#   q_incremental_agg_maintain, q_interval_overlap_join,
-#   stream_hamming_dedup, stream_incremental_agg, q_dupspan_mass,
-#   q_dupspan_strip, corpus_substring_e2e, q_pack_doc_spans,
-#   q_pack_sequences, q_mixture_temperature,
-#   q_mixture_temperature_sample, q_scd2_history, q_scd2_current,
-#   q_simjoin_pairs, q_simjoin_prune_stats;
-# - the remaining ~10 slots start draining the r4-stale tail (rows last
-#   green in CORRECTNESS_r04); the rest of that tail is round 8's.
-WINDOW_R6 = [
-    # -- the four r5 reds, oracle CAST fixed this round --
-    "q_rare_token_ratio",
-    "q_bpe_merges",
-    "q_bpe_token_freqs",
-    "q_pii_report",
-    # -- never-attested r5 addition --
-    "q_bpe_merges_batched",
-    # -- the 12 r2-stale rows --
-    "q_rollup_status_priority",
-    "a3_withinfo_consolidate",
-    "a4_duplicate_merge",
-    "a5_notes_eq_xref_clear",
-    "j04_history_resolution",
-    "j10_descendant_anti_join",
-    "a7_upsert_classification",
-    "a8_threshold_guarded_delete",
-    "w1_topk_per_group",
-    "w2_sessionize",
-    "set_ops_except_union",
-    "set_array_algebra",
-    # -- 33 of the 40 r3-stale rows --
-    "dedup_clusters",
-    "dedup_embedding_bucketed",
-    "dedup_winnowing",
-    "q_chunk_dedup",
-    "q_contamination_13gram",
-    "mm_binary_decode",
-    "mm_frame_sample",
-    "pipeline_e2e_mouse",
-    "pipeline_e2e_upsert",
-    "q_asof_attribution",
-    "q_global_topk",
-    "q_json_extract",
-    "q_jsonl_roundtrip",
-    "q_percentile_disc",
-    "q_pivot_event_counts",
-    "q_range_window_count",
-    "q_skew_salted_tokens",
-    "q_cluster_safe_split",
-    "q_mixture_weighted",
-    "q_quota_sample",
-    "q_train_test_split",
-    "q_sequence_packing",
-    "q_doc_chunking",
-    "sim_ivf_trained",
-    "stream_dedup_keys",
-    "stream_e2e_upsert",
-    "stream_interval_join",
-    "stream_synthetic_agg",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_ngram_topk",
-    "text_quality_score",
-    "text_token_count",
+# Round-7 window (exactly 50). CORRECTNESS_r06 went 50/50 green, so the
+# priority order is purely staleness (never-attested first):
+#   1-38  every never-attested round-6 addition (modules queries_dsir
+#         through queries_layout_e2e) — ADVICE-r6 touched five of the
+#         backing modules (scd/scd_stream/packing/ppjoin stats/
+#         streaming_scd staging) BEFORE this window commit; they are
+#         frozen from here on
+#   39-45 the 7 r3-stale deferred twins (kernel variants, mm_resize,
+#         cube/scalar-subquery/multi-distinct)
+#   46-50 the 5 stalest r4 family heads (flagship pricing summary,
+#         exact + MinHash dedup, brute-force ANN, sliding stream) —
+#         spreads re-attestation across the biggest r4 families
+# Round-8 rotation candidates (keep current):
+# - the remaining 44 r4-stale rows (CORRECTNESS_r04 minus the five
+#   re-attested here): p02-p17, s3-s9, j01, q1 is here, q5 twin
+#   q_bloom/bm25/cms/tfidf/fuzzy/hll/kmv/gopher/repetition, graph
+#   (degree/triangle/two-hop), zorder/compaction, mm_feature_extract,
+#   sim_lsh_ann/sim_ivf_ann/sim_lsh_multitable, dedup_ngram/simhash/
+#   embedding_cosine, corpus_clean_pipeline, stream_sliding is here,
+#   q_range_interval_join, q_salted_skew_join;
+# - round-7 trailing additions (modules queries_rproj onward below),
+#   never attested — they take the slots the r4 tail doesn't need.
+WINDOW_R7 = [
+    # -- never-attested round-6 additions (38) --
+    "q_dsir_bucket_weights",
+    "q_dsir_scores",
+    "q_dsir_select",
+    "q_boilerplate_freq",
+    "q_boilerplate_strip",
+    "q_ann_recall",
+    "q_csv_roundtrip",
+    "q_dedup_recall",
+    "stream_dsir_score",
+    "q_shuffle_shards",
+    "corpus_build_e2e",
+    "q_lm_perplexity_bucket",
+    "q_oov_rate",
+    "q_mixture_drift_kl",
+    "q_pagerank_topk",
+    "dedup_simhash_hamming",
+    "mm_phash_neardup",
+    "q_hamming_cluster_sizes",
+    "q_incremental_agg_maintain",
+    "q_interval_overlap_join",
+    "stream_hamming_dedup",
+    "stream_incremental_agg",
+    "q_dupspan_mass",
+    "q_dupspan_strip",
+    "corpus_substring_e2e",
+    "q_pack_doc_spans",
+    "q_pack_sequences",
+    "q_mixture_temperature",
+    "q_mixture_temperature_sample",
+    "q_scd2_history",
+    "q_scd2_current",
+    "q_simjoin_pairs",
+    "q_simjoin_prune_stats",
+    "q_quality_percentile_by_source",
+    "q_quality_top_slice_per_source",
+    "q_curriculum_layout",
+    "stream_scd2_dimension",
+    "corpus_layout_e2e",
+    # -- the 7 r3-stale deferred twins --
+    "dedup_clusters_minlabel",
+    "dedup_embedding_bucketed_kernel",
+    "sim_ivf_trained_kernel",
+    "mm_resize",
+    "q_cube_status_priority",
+    "q_scalar_subquery",
+    "q_multi_distinct",
+    # -- 5 stalest r4 family heads --
+    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "stream_sliding_agg",
 ]
 
 # A rotation edit that drops or duplicates a name would silently shift
 # which queries fall inside the attested first-50 window — assert shape
 # at import time, not just membership (ADVICE.md r5).
-assert len(WINDOW_R6) == 50 == len(set(WINDOW_R6)), (
-    f"WINDOW_R6 must be exactly 50 unique names, got "
-    f"{len(WINDOW_R6)} / {len(set(WINDOW_R6))} unique"
+assert len(WINDOW_R7) == 50 == len(set(WINDOW_R7)), (
+    f"WINDOW_R7 must be exactly 50 unique names, got "
+    f"{len(WINDOW_R7)} / {len(set(WINDOW_R7))} unique"
 )
 
 
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry. Shared SQL fragments
     # live in shared_sql.py (never registers), so no module import drags
-    # another registering module in early. Output order: WINDOW_R6
+    # another registering module in early. Output order: WINDOW_R7
     # first, then every other registered query in module/definition
-    # order (the driver attests the first 50 = exactly WINDOW_R6).
+    # order (the driver attests the first 50 = exactly WINDOW_R7).
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,
@@ -185,7 +173,7 @@ def all_queries() -> dict[str, Q]:
         queries_curation,
         # round-4 additions, modules similarity_pq through
         # queries_refresh_e2e (import position no longer matters for
-        # the window — WINDOW_R6 reorders explicitly)
+        # the window — WINDOW_R7 reorders explicitly)
         queries_similarity_pq,
         queries_diff,
         queries_sketches_hist,
@@ -205,11 +193,9 @@ def all_queries() -> dict[str, Q]:
         queries_pii,
         queries_corpus_e2e,
         queries_refresh_e2e,
-        # round-5 additions (q_bpe_merges_batched sits in WINDOW_R6
-        # slot 5 this round)
+        # round-5 additions (attested green in round 6)
         queries_bpe_batched,
-        # round-6 additions (after the window; lead the round-7
-        # rotation together with the 7 deferred r3 rows listed above)
+        # round-6 additions (all 38 never-attested rows lead WINDOW_R7)
         queries_dsir,
         queries_boilerplate,
         queries_ann_recall,
@@ -233,11 +219,15 @@ def all_queries() -> dict[str, Q]:
         queries_calibrate,
         queries_streaming_scd,
         queries_layout_e2e,
+        # round-7 additions (after the window; lead the round-8
+        # rotation together with the r4-stale tail listed above)
+        queries_rproj,
+        queries_incrjoin,
     )
 
-    missing = [n for n in WINDOW_R6 if n not in _REGISTRY]
+    missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
     if missing:  # a rotation typo must fail loudly, not shrink the window
-        raise KeyError(f"WINDOW_R6 names not in registry: {missing}")
-    ordered = {n: _REGISTRY[n] for n in WINDOW_R6}
+        raise KeyError(f"WINDOW_R7 names not in registry: {missing}")
+    ordered = {n: _REGISTRY[n] for n in WINDOW_R7}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
