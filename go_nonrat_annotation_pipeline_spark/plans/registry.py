@@ -223,6 +223,8 @@ def all_queries() -> dict[str, Q]:
         # rotation together with the r4-stale tail listed above)
         queries_rproj,
         queries_incrjoin,
+        queries_streaming_late,
+        queries_entity_e2e,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
