@@ -225,6 +225,9 @@ def all_queries() -> dict[str, Q]:
         queries_incrjoin,
         queries_streaming_late,
         queries_entity_e2e,
+        queries_textnorm,
+        queries_transitions,
+        queries_deadletter,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
