@@ -228,6 +228,7 @@ def all_queries() -> dict[str, Q]:
         queries_textnorm,
         queries_transitions,
         queries_deadletter,
+        queries_binpack,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
