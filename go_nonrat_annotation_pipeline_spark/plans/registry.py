@@ -229,6 +229,7 @@ def all_queries() -> dict[str, Q]:
         queries_transitions,
         queries_deadletter,
         queries_binpack,
+        queries_hilbert,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
