@@ -230,6 +230,7 @@ def all_queries() -> dict[str, Q]:
         queries_deadletter,
         queries_binpack,
         queries_hilbert,
+        queries_dedupaware,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
