@@ -83,6 +83,17 @@ EXTENDED = [
     "q_scd2_history",
     "q_simjoin_pairs",
     "corpus_layout_e2e",
+    # round 7 additions: JL projection + recall, join IVM, ER funnel,
+    # whole-doc FFD packing, Hilbert locality, dedup-aware sampling,
+    # NFC canonicalization
+    "q_random_projection",
+    "q_rp_ann_recall",
+    "q_incremental_join_maintain",
+    "q_entity_resolution_e2e",
+    "q_ffd_pack_assign",
+    "q_hilbert_locality",
+    "q_dedup_aware_sampling",
+    "q_unicode_nfc",
 ]
 
 

@@ -929,6 +929,87 @@ def main():
         n_docs,
     )
 
+    # Round 7: JL projection (expression vs Arrow int64 matmul), FFD
+    # whole-doc packing (shard count scales with data — per-shard fold
+    # stays batch-local), Hilbert keys (pure codegen fold), join IVM
+    # (cost must track the DELTA terms, bases only probed), and the
+    # q-gram blocked ER pairing on a linearly-growing key dictionary
+    # (3-variant families — true pairs linear, hot prefix grams
+    # stop-capped).
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        binpack as BPK,
+        hilbert as HB,
+        incrjoin as IJ,
+        rproj as RPJ,
+    )
+
+    timed(
+        "rproj_expression(d64->k16)",
+        lambda: RPJ.rproject(emb, 64, 16).agg(F.sum("p")).collect(),
+        n_emb,
+    )
+    timed(
+        "rproj_kernel(int64 matmul)",
+        lambda: RPJ.rproject_kernel(emb, 64, 16)
+        .select(F.element_at("proj", 1).alias("p1"))
+        .agg(F.sum("p1"))
+        .collect(),
+        n_emb,
+    )
+    timed(
+        "ffd_pack(64 shards)",
+        lambda: BPK.ffd_pack(docs, n_shards=64)
+        .agg(F.sum("bin_no"))
+        .collect(),
+        n_docs,
+    )
+    hb_li = li.withColumns(
+        {
+            "_x": (F.col("l_partkey") % 256).cast("long"),
+            "_y": (F.col("l_suppkey") % 256).cast("long"),
+        }
+    )
+    timed(
+        "hilbert_key(unrolled fold)",
+        lambda: HB.with_hilbert_key(hb_li, "_x", "_y")
+        .agg(F.sum("hkey"))
+        .collect(),
+        n_li,
+    )
+    ij_o = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ij_l = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_partkey") % 100).alias("qty"),
+    )
+    ij_ob, ij_od = ij_o.where("k % 4 <> 0"), ij_o.where("k % 4 = 0")
+    ij_lb = ij_l.where("(k + qty) % 5 <> 0")
+    ij_ld = ij_l.where("(k + qty) % 5 = 0")
+    timed(
+        "incrjoin_delta(3 terms)",
+        lambda: IJ.delta_join(ij_ob, ij_od, ij_lb, ij_ld, "k").count(),
+        n_li,
+    )
+    er_keys = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("name"),
+            F.expr("doc_id DIV 3").cast("string"),
+            F.lit(" variant "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("key"),
+    )
+    timed(
+        "er_qgram_pairs(3-variant families)",
+        lambda: R.qgram_fuzzy_pairs(
+            er_keys, "id", F.col("key"), 2, 3
+        ).count(),
+        n_docs,
+    )
+
 
 if __name__ == "__main__":
     main()
