@@ -229,6 +229,9 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "tail6":
         tail6_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "tail7":
+        tail7_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -929,17 +932,22 @@ def main():
         n_docs,
     )
 
-    # Round 7: JL projection (expression vs Arrow int64 matmul), FFD
-    # whole-doc packing (shard count scales with data — per-shard fold
-    # stays batch-local), Hilbert keys (pure codegen fold), join IVM
-    # (cost must track the DELTA terms, bases only probed), and the
-    # q-gram blocked ER pairing on a linearly-growing key dictionary
-    # (3-variant families — true pairs linear, hot prefix grams
-    # stop-capped).
+    _round7_rows(docs, emb, li, n_docs, n_emb, n_li)
+
+
+def _round7_rows(docs, emb, li, n_docs, n_emb, n_li):
+    """Round 7: JL projection (expression vs Arrow int64 matmul), FFD
+    whole-doc packing (shard count scales with data — per-shard fold
+    stays batch-local), Hilbert keys (pure codegen fold), join IVM
+    (cost must track the DELTA terms, bases only probed), and the
+    q-gram blocked ER pairing on a linearly-growing key dictionary
+    (3-variant families — true pairs linear, hot prefix grams
+    stop-capped). ``li`` carries (l_orderkey, l_partkey) only."""
     from go_nonrat_annotation_pipeline_spark.operators import (
         binpack as BPK,
         hilbert as HB,
         incrjoin as IJ,
+        retrieval as R7,
         rproj as RPJ,
     )
 
@@ -966,7 +974,7 @@ def main():
     hb_li = li.withColumns(
         {
             "_x": (F.col("l_partkey") % 256).cast("long"),
-            "_y": (F.col("l_suppkey") % 256).cast("long"),
+            "_y": (F.col("l_orderkey") % 256).cast("long"),
         }
     )
     timed(
@@ -993,22 +1001,52 @@ def main():
         lambda: IJ.delta_join(ij_ob, ij_od, ij_lb, ij_ld, "k").count(),
         n_li,
     )
+    # family stem = md5 prefix: sequential ints ("name123"/"name124")
+    # sit at edit distance 1 from each other, chaining families into a
+    # dense typo graph (5.2M pairs at 20×); random hex stems are
+    # pairwise distance >2 w.h.p., so truth = C(3,2) pairs per family —
+    # linear in the corpus, which is what the probe measures.
+    # q=4 below, not the default 3: hex stems draw grams from a
+    # 16^q-sized space, and at 40× the 4096 possible 3-grams each hit
+    # >256 keys — the stop-gram cap then drops every stem gram and
+    # recall collapses (measured: 243 pairs at 40× with q=3). 16^4=65k
+    # grams keeps per-gram fan-out ~21 keys at 40×.
     er_keys = docs.select(
         F.col("doc_id").alias("id"),
         F.concat(
-            F.lit("name"),
-            F.expr("doc_id DIV 3").cast("string"),
+            F.substring(
+                F.md5(F.expr("CAST(doc_id DIV 3 AS STRING)")), 1, 10
+            ),
             F.lit(" variant "),
             (F.col("doc_id") % 3).cast("string"),
         ).alias("key"),
     )
     timed(
         "er_qgram_pairs(3-variant families)",
-        lambda: R.qgram_fuzzy_pairs(
-            er_keys, "id", F.col("key"), 2, 3
+        lambda: R7.qgram_fuzzy_pairs(
+            er_keys, "id", F.col("key"), 2, 4
         ).count(),
         n_docs,
     )
+
+
+def tail7_probe(mult: int = 20):
+    """Only the round-7 rows — the fast path for iterating on the
+    newest families (the full table takes ~15 min at 20×)."""
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = inflate(load_table(spark, SF_DIR, "documents"), "doc_id", mult)
+    emb = inflate(load_table(spark, SF_DIR, "embeddings"), "vec_id", mult)
+    li = inflate(
+        load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+        "l_orderkey",
+        mult,
+    )
+    n_docs, n_emb, n_li = docs.count(), emb.count(), li.count()
+    print(f"corpus: {n_docs:,} docs, {n_emb:,} emb, {n_li:,} li  (x{mult})")
+    _round7_rows(docs, emb, li, n_docs, n_emb, n_li)
 
 
 if __name__ == "__main__":
