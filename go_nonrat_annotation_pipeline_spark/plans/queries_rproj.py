@@ -170,3 +170,91 @@ def q_rp_ann_recall(spark, sf_dir):
             .alias("n_overlap")
         )
     )
+
+
+_SHORTLIST = 40  # projected-dot candidates re-ranked exactly
+
+
+@register(
+    "q_rp_rerank",
+    f"""
+    WITH {_RP_CTES}
+    , qv AS (
+      SELECT vec_id AS _id,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS d,
+             UNNEST(LIST_TRANSFORM(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * {RP.Q_SCALE})
+                           AS BIGINT))) AS x
+      FROM embeddings
+    ), pdot AS (
+      SELECT q._id AS q_id, c._id AS c_id,
+             CAST(SUM(q.p * c.p) AS BIGINT) AS pdot
+      FROM rp q JOIN rp c USING (j)
+      WHERE q._id % {_Q_MOD} = 0 AND q._id <> c._id
+      GROUP BY q._id, c._id
+    ), shortlist AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY pdot DESC, c_id) AS rn
+        FROM pdot) WHERE rn <= {_SHORTLIST}
+    ), exact AS (
+      SELECT s.q_id, s.c_id,
+             CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+      FROM shortlist s
+      JOIN qv q ON q._id = s.q_id
+      JOIN qv c ON c._id = s.c_id AND c.d = q.d
+      GROUP BY s.q_id, s.c_id
+    )
+    SELECT q_id, c_id, dot,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, c_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY dot DESC, c_id) AS rn
+      FROM exact)
+    WHERE rn <= {_TOP}
+    """,
+    doc="two-stage RP ANN (the PQ-style shortlist-then-rerank shape): "
+    "candidates by 16-dim projected integer dot (4x cheaper per "
+    "comparison), exact 64-dim re-rank of the 40-deep shortlist only "
+    "— final top-10 per query fully hash-attested; exact distance "
+    "work drops from N to shortlist-size per query",
+)
+def q_rp_rerank(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    proj = RP.rproject(embs, _DIM, _K)
+    pq = proj.where(F.col("vec_id") % _Q_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), "j", F.col("p").alias("qp")
+    )
+    pdot = (
+        pq.join(
+            proj.select(F.col("vec_id").alias("c_id"), "j", "p"), "j"
+        )
+        .where(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("qp") * F.col("p")).alias("pdot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("pdot").desc(), "c_id")
+    shortlist = (
+        pdot.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    toks = embs.select(
+        "vec_id", F.posexplode(RP.quantize(F.col("embedding"))).alias("d0", "x")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x")
+    qt = toks.select(F.col("vec_id").alias("q_id"), "d", F.col("x").alias("qx"))
+    ct = toks.select(F.col("vec_id").alias("c_id"), "d", F.col("x").alias("cx"))
+    exact = (
+        shortlist.join(qt, "q_id")
+        .join(ct, ["c_id", "d"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "c_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _TOP)
+        .select("q_id", "c_id", "dot", F.col("rn").cast("long").alias("rank"))
+    )

@@ -231,6 +231,7 @@ def all_queries() -> dict[str, Q]:
         queries_binpack,
         queries_hilbert,
         queries_dedupaware,
+        queries_streaming_hll,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
