@@ -232,6 +232,7 @@ def all_queries() -> dict[str, Q]:
         queries_hilbert,
         queries_dedupaware,
         queries_streaming_hll,
+        queries_streaming_deadletter,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
