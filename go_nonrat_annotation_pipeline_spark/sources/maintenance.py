@@ -95,3 +95,27 @@ def summarize_table(df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         out, "column string, n_rows long, n_nulls long, approx_ndv long"
     )
+
+
+def refresh_partitions(
+    df_new: DataFrame,
+    path: str,
+    part_col: str,
+) -> None:
+    """Overwrite ONLY the partitions present in ``df_new`` (dynamic
+    partition overwrite) — the day-2 refresh primitive for a
+    partitioned 100 TB table: a daily delta touching 3 of 3,000
+    date partitions rewrites 3 directories, never the table.
+
+    Static overwrite (`mode=overwrite` + partitionBy, the default
+    `partitionOverwriteMode=STATIC`) would TRUNCATE the whole table
+    first; the dynamic conf scopes the overwrite to partitions the
+    incoming frame actually carries. Set per-write via the DataFrame
+    option so the session conf stays untouched (the driver owns the
+    session — same rule as load_table's nanos conf)."""
+    (
+        df_new.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(path)
+    )

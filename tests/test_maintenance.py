@@ -70,3 +70,57 @@ def test_summarize_table_one_pass(spark):
     assert stats["id"].n_rows == 4 and stats["id"].n_nulls == 0
     assert stats["x"].n_nulls == 1
     assert stats["x"].approx_ndv == 2  # exact at this cardinality
+
+
+def test_refresh_partitions_touches_only_incoming(spark, tmp_path):
+    from go_nonrat_annotation_pipeline_spark.sources.maintenance import (
+        refresh_partitions,
+    )
+
+    path = str(tmp_path / "parts")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, part string, v long",
+    )
+    base.write.partitionBy("part").parquet(path)
+    import glob
+    import os
+
+    def files_in(p):
+        return sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(path, f"part={p}", "*.parquet"))
+        )
+
+    before_b = files_in("b")
+    before_c = files_in("c")
+    # refresh carries ONLY partition a (changed rows) — b and c must
+    # keep their exact files; a is replaced wholesale
+    delta = spark.createDataFrame(
+        [(1, "a", 11), (5, "a", 50)], "id long, part string, v long"
+    )
+    refresh_partitions(delta, path, "part")
+    assert files_in("b") == before_b
+    assert files_in("c") == before_c
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(path).select("id", "part", "v").collect()
+    )
+    assert got == [(1, "a", 11), (3, "b", 30), (4, "c", 40), (5, "a", 50)]
+
+
+def test_refresh_partitions_static_mode_would_truncate(spark, tmp_path):
+    # the guard rail this function exists for: a plain overwrite drops
+    # the untouched partitions
+    path = str(tmp_path / "parts2")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (3, "b", 30)], "id long, part string, v long"
+    )
+    base.write.partitionBy("part").parquet(path)
+    delta = spark.createDataFrame(
+        [(5, "a", 50)], "id long, part string, v long"
+    )
+    delta.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("part").parquet(path)
+    left = {r.part for r in spark.read.parquet(path).collect()}
+    assert left == {"a"}  # b is gone — exactly why dynamic mode matters
