@@ -233,6 +233,8 @@ def all_queries() -> dict[str, Q]:
         queries_dedupaware,
         queries_streaming_hll,
         queries_streaming_deadletter,
+        queries_knnjoin,
+        queries_lengthbucket,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
