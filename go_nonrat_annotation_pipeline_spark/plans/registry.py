@@ -235,6 +235,7 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_deadletter,
         queries_knnjoin,
         queries_lengthbucket,
+        queries_pack_e2e,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
