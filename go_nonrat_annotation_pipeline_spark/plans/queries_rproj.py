@@ -115,11 +115,14 @@ def q_rproj_kernel(spark, sf_dir):
     FROM otop o LEFT JOIN ptop p USING (q_id, c_id)
     GROUP BY o.q_id
     """,
-    doc="JL neighborhood preservation, measured: exact top-10 by "
-    "integer dot on the 64-dim quantized originals vs top-10 on the "
-    "16-dim projections; per-query overlap count is the recall@10 "
-    "numerator — the evidence the d→k reduction is safe as an ANN "
-    "pre-step (4× smaller shuffle payload per comparison)",
+    doc="JL neighborhood preservation, MEASURED (an index-quality "
+    "eval, like q_ann_recall): exact top-10 by integer dot on the "
+    "64-dim originals vs top-10 on the 16-dim projections. On the "
+    "near-isotropic synthetic vectors (top-10 gap ≈ JL noise 1/√k) "
+    "recall is low — k=16 keeps ~30% of true top-10 in a 40-deep "
+    "shortlist, k=32 ~45% (SCALE.md) — which is exactly what this "
+    "eval exists to expose: it sizes k against the REAL embedding "
+    "geometry before committing to the 4× cheaper pipeline",
 )
 def q_rp_ann_recall(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
@@ -219,7 +222,9 @@ _SHORTLIST = 40  # projected-dot candidates re-ranked exactly
     "candidates by 16-dim projected integer dot (4x cheaper per "
     "comparison), exact 64-dim re-rank of the 40-deep shortlist only "
     "— final top-10 per query fully hash-attested; exact distance "
-    "work drops from N to shortlist-size per query",
+    "work drops from N to shortlist-size per query. Re-ranking "
+    "recovers exactly what the shortlist retains (q_rp_ann_recall is "
+    "the companion eval that sizes k/shortlist for the data)",
 )
 def q_rp_rerank(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
