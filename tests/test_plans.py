@@ -369,3 +369,74 @@ def test_substring_e2e_composes_clean(spark, registry):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rproj_expression_broadcasts_signs_no_python(spark, registry):
+    """Random projection (expression path): the k·d sign matrix
+    broadcasts; the contraction is one hash aggregate, no Python."""
+    p = plan(registry["q_random_projection"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rproj_kernel_is_single_arrow_stage(spark, registry):
+    """Arrow matmul path: exactly one MapInPandas, and the projection
+    itself needs NO exchange (the aggregate after it may)."""
+    df = registry["q_rproj_kernel"].spark(spark, SF)
+    p = plan(df)
+    assert p.count("MapInPandas") >= 1
+    # the kernel consumes the scan directly — no exchange below it
+    assert "SortMergeJoin" not in p
+
+
+def test_ffd_pack_one_shuffle_one_pandas_group(spark, registry):
+    """FFD: ONE exchange (hash by shard) feeding ONE
+    FlatMapGroupsInPandas — the per-shard fold is the only Python."""
+    p = plan(registry["q_ffd_pack_assign"].spark(spark, SF))
+    assert p.count("FlatMapGroupsInPandas") == 2  # formatted prints ×2
+    assert "BatchEvalPython" not in p
+
+
+def test_hilbert_key_stays_jvm_side(spark, registry):
+    """The unrolled quadrant fold is pure codegen — no Python nodes,
+    no join anywhere in the layout query."""
+    p = plan(registry["q_hilbert_layout"].spark(spark, SF))
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "Join" not in p
+
+
+def test_incrjoin_delta_terms_no_cartesian(spark, registry):
+    p = plan(registry["q_incremental_join_maintain"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_knn_join_is_bucket_equi_join(spark, registry):
+    """k-NN self-join: candidates come from a (bucket, d) equi-join —
+    never a nested-loop pair enumeration."""
+    p = plan(registry["sim_knn_join_bucketed"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_entity_resolution_no_cartesian_no_python(spark, registry):
+    p = plan(registry["q_entity_resolution_e2e"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_json_quarantine_pure_map_side(spark, registry):
+    """Dead-letter routing: parse + filter only — zero exchanges."""
+    p = plan(registry["q_json_quarantine_rows"].spark(spark, SF))
+    assert p.count(") Exchange") == 0
+    assert "EvalPython" not in p
+
+
+def test_nfc_is_single_arrow_stage_plus_join_back(spark, registry):
+    """NFC: one MapInPandas for unicodedata; the length/changed join
+    back to the injected frame must not be a nested loop."""
+    p = plan(registry["q_unicode_nfc"].spark(spark, SF))
+    assert p.count("MapInPandas") >= 1
+    assert "CartesianProduct" not in p
