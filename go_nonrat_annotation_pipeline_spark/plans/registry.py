@@ -236,6 +236,7 @@ def all_queries() -> dict[str, Q]:
         queries_knnjoin,
         queries_lengthbucket,
         queries_pack_e2e,
+        queries_csv_deadletter,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
