@@ -73,8 +73,22 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   sim_lsh_ann/sim_ivf_ann/sim_lsh_multitable, dedup_ngram/simhash/
 #   embedding_cosine, corpus_clean_pipeline, stream_sliding is here,
 #   q_range_interval_join, q_salted_skew_join;
-# - round-7 trailing additions (modules queries_rproj onward below),
-#   never attested — they take the slots the r4 tail doesn't need.
+# - the 28 round-7 trailing additions (modules queries_rproj through
+#   queries_csv_deadletter below: q_random_projection, q_rproj_kernel,
+#   q_rp_ann_recall, q_rp_rerank, q_incremental_join_maintain,
+#   q_delta_join_terms, stream_late_data_audit,
+#   q_entity_resolution_e2e, q_entity_blocking_stats, q_unicode_nfc,
+#   q_text_canonicalize, q_event_transitions, q_next_event_prediction,
+#   q_json_dead_letter_report, q_json_quarantine_rows,
+#   q_ffd_pack_assign, q_ffd_pack_stats, q_hilbert_layout,
+#   q_hilbert_locality, q_dedup_aware_sampling, q_dedup_aware_report,
+#   stream_hll_distinct, stream_json_quarantine,
+#   sim_knn_join_bucketed, q_length_bucketing,
+#   q_length_bucketing_gain, corpus_pack_e2e, q_csv_dead_letter),
+#   never attested — all compare-green at sf0.001 AND sf0.01 on
+#   registration. 44 r4-stale + 28 new = 72 candidates for 50 slots:
+#   prioritize the 28 never-attested, fill with the stalest r4 rows,
+#   and the ~22-row r4 remainder drains in round 9.
 WINDOW_R7 = [
     # -- never-attested round-6 additions (38) --
     "q_dsir_bucket_weights",
