@@ -252,6 +252,7 @@ def all_queries() -> dict[str, Q]:
         queries_pack_e2e,
         queries_csv_deadletter,
         queries_budget,
+        queries_chunk_overlap,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
