@@ -253,6 +253,7 @@ def all_queries() -> dict[str, Q]:
         queries_csv_deadletter,
         queries_budget,
         queries_chunk_overlap,
+        queries_joinsize,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
