@@ -254,6 +254,7 @@ def all_queries() -> dict[str, Q]:
         queries_budget,
         queries_chunk_overlap,
         queries_joinsize,
+        queries_streaming_incrjoin,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
