@@ -120,3 +120,85 @@ def q_length_bucketing_gain(spark, sf_dir):
             .alias("waste_ratio_permille"),
         )
     )
+
+
+@register(
+    "q_length_bucketing_sketch",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+    ), vals AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ), cum AS (
+      SELECT tok,
+             SUM(cnt) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING)
+               AS c,
+             (SELECT SUM(cnt) FROM vals) AS n
+      FROM vals
+    ), bounds AS (
+      SELECT b, MIN(tok) AS boundary
+      FROM cum, UNNEST(GENERATE_SERIES(1, {_BUCKETS - 1})) AS t(b)
+      WHERE 8 * c >= b * n
+      GROUP BY b
+    ), assigned AS (
+      SELECT t.doc_id, t.tok,
+             1 + (SELECT COUNT(*) FROM bounds WHERE boundary < t.tok)
+               AS bucket
+      FROM toks t
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(tok) AS BIGINT) AS min_tok,
+           CAST(MAX(tok) AS BIGINT) AS max_tok,
+           CAST(MAX(tok) * COUNT(*) - SUM(tok) AS BIGINT)
+             AS padding_waste
+    FROM assigned
+    GROUP BY bucket
+    """,
+    doc="the SCALE path for equi-depth length bucketing (no global "
+    "NTILE sort): exact per-length counts are dictionary-sized, "
+    "boundaries fall out of one cumulative window over that "
+    "dictionary (8·cum ≥ b·N — integer-exact), and assignment is a "
+    "broadcast of ≤7 boundary rows; ties share a bucket by "
+    "construction, unlike NTILE's row-split",
+)
+def q_length_bucketing_sketch(spark, sf_dir):
+    b = _bucketed(spark, sf_dir).select("doc_id", "tok")
+    vals = b.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("tok").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.withColumn("c", F.sum("cnt").over(w)).crossJoin(
+        vals.agg(F.sum("cnt").alias("n"))
+    )
+    bs = spark.range(1, _BUCKETS).select(F.col("id").alias("b"))
+    bounds = (
+        cum.crossJoin(F.broadcast(bs))
+        .where(8 * F.col("c") >= F.col("b") * F.col("n"))
+        .groupBy("b")
+        .agg(F.min("tok").alias("boundary"))
+    )
+    assigned = b.crossJoin(
+        F.broadcast(
+            bounds.agg(
+                F.collect_list("boundary").alias("_bl")
+            )
+        )
+    ).select(
+        "doc_id",
+        "tok",
+        (
+            1
+            + F.size(
+                F.filter(F.col("_bl"), lambda x: x < F.col("tok"))
+            )
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("tok").alias("min_tok"),
+        F.max("tok").alias("max_tok"),
+        (F.max("tok") * F.count(F.lit(1)) - F.sum("tok")).alias(
+            "padding_waste"
+        ),
+    )
