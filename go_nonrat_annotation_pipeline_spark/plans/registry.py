@@ -255,6 +255,7 @@ def all_queries() -> dict[str, Q]:
         queries_chunk_overlap,
         queries_joinsize,
         queries_streaming_incrjoin,
+        queries_mm_aspect,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
