@@ -256,6 +256,7 @@ def all_queries() -> dict[str, Q]:
         queries_joinsize,
         queries_streaming_incrjoin,
         queries_mm_aspect,
+        queries_bbit,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
