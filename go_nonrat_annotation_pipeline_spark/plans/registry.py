@@ -257,6 +257,7 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_incrjoin,
         queries_mm_aspect,
         queries_bbit,
+        queries_cohort,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
