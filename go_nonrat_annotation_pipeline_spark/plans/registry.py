@@ -258,6 +258,7 @@ def all_queries() -> dict[str, Q]:
         queries_mm_aspect,
         queries_bbit,
         queries_cohort,
+        queries_erasure,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]

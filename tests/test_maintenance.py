@@ -124,3 +124,53 @@ def test_refresh_partitions_static_mode_would_truncate(spark, tmp_path):
     ).partitionBy("part").parquet(path)
     left = {r.part for r in spark.read.parquet(path).collect()}
     assert left == {"a"}  # b is gone — exactly why dynamic mode matters
+
+
+def test_erasure_rewrite_touches_only_affected_partitions(spark, tmp_path):
+    """RTBF composition: anti-join out the erased keys, rewrite ONLY
+    the partitions that carried them (dynamic overwrite) — weeks with
+    no erased rows keep their exact files."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_nonrat_annotation_pipeline_spark.sources.maintenance import (
+        refresh_partitions,
+    )
+
+    path = str(tmp_path / "ev")
+    rows = [
+        # (id, user, week): user 37 appears only in weeks 1 and 3
+        (1, 37, 1), (2, 5, 1), (3, 6, 2), (4, 7, 2),
+        (5, 37, 3), (6, 8, 3), (7, 9, 4),
+    ]
+    base = spark.createDataFrame(rows, "id long, user long, week long")
+    base.write.partitionBy("week").parquet(path)
+
+    def files_in(w):
+        return sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(path, f"week={w}", "*.parquet"))
+        )
+
+    before = {w: files_in(w) for w in (1, 2, 3, 4)}
+    stored = spark.read.parquet(path)
+    erase = spark.createDataFrame([(37,)], "user long")
+    affected = (
+        stored.join(F.broadcast(erase), "user")
+        .select("week")
+        .distinct()
+    )
+    survivors = (
+        stored.join(F.broadcast(affected), "week")  # affected parts only
+        .join(F.broadcast(erase), "user", "left_anti")
+    )
+    refresh_partitions(survivors, path, "week")
+
+    assert files_in(2) == before[2] and files_in(4) == before[4]
+    got = sorted(
+        (r.id, r.user, r.week)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(2, 5, 1), (3, 6, 2), (4, 7, 2), (6, 8, 3), (7, 9, 4)]
