@@ -84,11 +84,18 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_hilbert_locality, q_dedup_aware_sampling, q_dedup_aware_report,
 #   stream_hll_distinct, stream_json_quarantine,
 #   sim_knn_join_bucketed, q_length_bucketing,
-#   q_length_bucketing_gain, corpus_pack_e2e, q_csv_dead_letter),
-#   never attested — all compare-green at sf0.001 AND sf0.01 on
-#   registration. 44 r4-stale + 28 new = 72 candidates for 50 slots:
-#   prioritize the 28 never-attested, fill with the stalest r4 rows,
-#   and the ~22-row r4 remainder drains in round 9.
+#   q_length_bucketing_gain, corpus_pack_e2e, q_csv_dead_letter,
+#   plus the late round-7 batch: q_rp_rerank [in queries_rproj],
+#   stream_hll_distinct, stream_json_quarantine, sim_knn_join_bucketed,
+#   q_length_bucketing_sketch [in queries_lengthbucket],
+#   q_budget_waterfill, q_budget_waterfill_audit, q_chunk_overlap,
+#   q_join_size_cms, stream_incremental_join, mm_aspect_bucketing,
+#   q_bbit_minhash_pairs, q_cohort_retention, q_cohort_sizes,
+#   q_erasure_plan — 39 round-7 additions in all), never attested —
+#   every one compare-green at sf0.001 AND sf0.01 on registration.
+#   44 r4-stale + 39 new = 83 candidates for 50 slots: prioritize the
+#   39 never-attested, fill with the stalest r4 rows, and the ~33-row
+#   r4 remainder drains in round 9.
 WINDOW_R7 = [
     # -- never-attested round-6 additions (38) --
     "q_dsir_bucket_weights",
@@ -259,6 +266,7 @@ def all_queries() -> dict[str, Q]:
         queries_bbit,
         queries_cohort,
         queries_erasure,
+        queries_rfm,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
