@@ -267,6 +267,7 @@ def all_queries() -> dict[str, Q]:
         queries_cohort,
         queries_erasure,
         queries_rfm,
+        queries_negatives,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
