@@ -268,6 +268,7 @@ def all_queries() -> dict[str, Q]:
         queries_erasure,
         queries_rfm,
         queries_negatives,
+        queries_bootstrap,
     )
 
     missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
