@@ -440,3 +440,40 @@ def test_nfc_is_single_arrow_stage_plus_join_back(spark, registry):
     p = plan(registry["q_unicode_nfc"].spark(spark, SF))
     assert p.count("MapInPandas") >= 1
     assert "CartesianProduct" not in p
+
+
+def test_waterfill_is_dictionary_sized_no_python(spark, registry):
+    """Budget water-filling: the k-stats row broadcasts back onto the
+    dictionary-sized caps table; no Python nodes anywhere."""
+    p = plan(registry["q_budget_waterfill"].spark(spark, SF))
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bootstrap_weights_are_map_side(spark, registry):
+    """Poisson bootstrap: replicate explode + weight are map-side; the
+    only exchange is the per-replicate aggregate."""
+    p = plan(registry["q_bootstrap_stats"].spark(spark, SF))
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_negative_sampling_exclusion_is_hash_join(spark, registry):
+    """The corpus-sized structures stay hash-joined: the positive-set
+    anti-join must not degrade to a nested loop. The plan DOES carry
+    BroadcastNestedLoopJoins — those are the deliberate k-row
+    crossJoins (the 1-row (n, lo) stats and the 8-row slot table
+    broadcast onto anchors), which is exactly the scale-safe shape."""
+    p = plan(registry["q_negative_samples"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    # the left_anti against the pair set is a hash join
+    assert "BroadcastHashJoin LeftAnti" in p or (
+        "LeftAnti" in p and "NestedLoop" not in p.split("LeftAnti")[0][-200:]
+    )
+
+
+def test_join_size_sketch_counters_no_cartesian(spark, registry):
+    p = plan(registry["q_join_size_cms"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
