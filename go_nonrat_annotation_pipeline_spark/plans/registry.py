@@ -73,8 +73,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   sim_lsh_ann/sim_ivf_ann/sim_lsh_multitable, dedup_ngram/simhash/
 #   embedding_cosine, corpus_clean_pipeline, stream_sliding is here,
 #   q_range_interval_join, q_salted_skew_join;
-# - the 42 round-7 trailing additions (modules queries_rproj through
-#   queries_negatives below): q_random_projection, q_rproj_kernel,
+# - the 43 round-7 trailing additions (modules queries_rproj through
+#   queries_bootstrap below): q_random_projection, q_rproj_kernel,
 #   q_rp_ann_recall, q_rp_rerank, q_incremental_join_maintain,
 #   q_delta_join_terms, stream_late_data_audit,
 #   q_entity_resolution_e2e, q_entity_blocking_stats, q_unicode_nfc,
@@ -89,12 +89,13 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_budget_waterfill_audit, q_chunk_overlap, q_join_size_cms,
 #   stream_incremental_join, mm_aspect_bucketing,
 #   q_bbit_minhash_pairs, q_cohort_retention, q_cohort_sizes,
-#   q_erasure_plan, q_rfm_scores, q_rfm_segments, q_negative_samples —
-#   never attested; every one compare-green at sf0.001 AND sf0.01 on
+#   q_erasure_plan, q_rfm_scores, q_rfm_segments, q_negative_samples,
+#   q_bootstrap_stats — never attested; every one compare-green at
+#   sf0.001 AND sf0.01 on
 #   registration, and the full registry swept green end-of-round at
 #   BOTH SFs.
-#   44 r4-stale + 42 new = 86 candidates for 50 slots: prioritize the
-#   42 never-attested, fill with the stalest r4 rows, and the ~36-row
+#   44 r4-stale + 43 new = 87 candidates for 50 slots: prioritize the
+#   43 never-attested, fill with the stalest r4 rows, and the ~37-row
 #   r4 remainder drains in round 9.
 WINDOW_R7 = [
     # -- never-attested round-6 additions (38) --
