@@ -53,121 +53,110 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # window in the same commit. Otherwise a mid-round driver snapshot
 # races the edit.
 #
-# Round-7 window (exactly 50). CORRECTNESS_r06 went 50/50 green, so the
+# Round-8 window (exactly 50). CORRECTNESS_r07 went 50/50 green, so the
 # priority order is purely staleness (never-attested first):
-#   1-38  every never-attested round-6 addition (modules queries_dsir
-#         through queries_layout_e2e) — ADVICE-r6 touched five of the
-#         backing modules (scd/scd_stream/packing/ppjoin stats/
-#         streaming_scd staging) BEFORE this window commit; they are
-#         frozen from here on
-#   39-45 the 7 r3-stale deferred twins (kernel variants, mm_resize,
-#         cube/scalar-subquery/multi-distinct)
-#   46-50 the 5 stalest r4 family heads (flagship pricing summary,
-#         exact + MinHash dedup, brute-force ANN, sliding stream) —
-#         spreads re-attestation across the biggest r4 families
-# Round-8 rotation candidates (keep current):
-# - the remaining 44 r4-stale rows (CORRECTNESS_r04 minus the five
-#   re-attested here): p02-p17, s3-s9, j01, q1 is here, q5 twin
-#   q_bloom/bm25/cms/tfidf/fuzzy/hll/kmv/gopher/repetition, graph
-#   (degree/triangle/two-hop), zorder/compaction, mm_feature_extract,
-#   sim_lsh_ann/sim_ivf_ann/sim_lsh_multitable, dedup_ngram/simhash/
-#   embedding_cosine, corpus_clean_pipeline, stream_sliding is here,
-#   q_range_interval_join, q_salted_skew_join;
-# - the 43 round-7 trailing additions (modules queries_rproj through
-#   queries_bootstrap below): q_random_projection, q_rproj_kernel,
-#   q_rp_ann_recall, q_rp_rerank, q_incremental_join_maintain,
-#   q_delta_join_terms, stream_late_data_audit,
-#   q_entity_resolution_e2e, q_entity_blocking_stats, q_unicode_nfc,
-#   q_text_canonicalize, q_event_transitions, q_next_event_prediction,
-#   q_json_dead_letter_report, q_json_quarantine_rows,
-#   q_ffd_pack_assign, q_ffd_pack_stats, q_hilbert_layout,
-#   q_hilbert_locality, q_dedup_aware_sampling, q_dedup_aware_report,
-#   stream_hll_distinct, stream_json_quarantine,
-#   sim_knn_join_bucketed, q_length_bucketing,
-#   q_length_bucketing_gain, q_length_bucketing_sketch,
-#   corpus_pack_e2e, q_csv_dead_letter, q_budget_waterfill,
-#   q_budget_waterfill_audit, q_chunk_overlap, q_join_size_cms,
-#   stream_incremental_join, mm_aspect_bucketing,
-#   q_bbit_minhash_pairs, q_cohort_retention, q_cohort_sizes,
-#   q_erasure_plan, q_rfm_scores, q_rfm_segments, q_negative_samples,
-#   q_bootstrap_stats — never attested; every one compare-green at
-#   sf0.001 AND sf0.01 on
-#   registration, and the full registry swept green end-of-round at
-#   BOTH SFs.
-#   44 r4-stale + 43 new = 87 candidates for 50 slots: prioritize the
-#   43 never-attested, fill with the stalest r4 rows, and the ~37-row
-#   r4 remainder drains in round 9.
-WINDOW_R7 = [
-    # -- never-attested round-6 additions (38) --
-    "q_dsir_bucket_weights",
-    "q_dsir_scores",
-    "q_dsir_select",
-    "q_boilerplate_freq",
-    "q_boilerplate_strip",
-    "q_ann_recall",
-    "q_csv_roundtrip",
-    "q_dedup_recall",
-    "stream_dsir_score",
-    "q_shuffle_shards",
-    "corpus_build_e2e",
-    "q_lm_perplexity_bucket",
-    "q_oov_rate",
-    "q_mixture_drift_kl",
-    "q_pagerank_topk",
-    "dedup_simhash_hamming",
-    "mm_phash_neardup",
-    "q_hamming_cluster_sizes",
-    "q_incremental_agg_maintain",
-    "q_interval_overlap_join",
-    "stream_hamming_dedup",
-    "stream_incremental_agg",
-    "q_dupspan_mass",
-    "q_dupspan_strip",
-    "corpus_substring_e2e",
-    "q_pack_doc_spans",
-    "q_pack_sequences",
-    "q_mixture_temperature",
-    "q_mixture_temperature_sample",
-    "q_scd2_history",
-    "q_scd2_current",
-    "q_simjoin_pairs",
-    "q_simjoin_prune_stats",
-    "q_quality_percentile_by_source",
-    "q_quality_top_slice_per_source",
-    "q_curriculum_layout",
-    "stream_scd2_dimension",
-    "corpus_layout_e2e",
-    # -- the 7 r3-stale deferred twins --
-    "dedup_clusters_minlabel",
-    "dedup_embedding_bucketed_kernel",
-    "sim_ivf_trained_kernel",
-    "mm_resize",
-    "q_cube_status_priority",
-    "q_scalar_subquery",
-    "q_multi_distinct",
-    # -- 5 stalest r4 family heads --
-    "q1_pricing_summary",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
-    "stream_sliding_agg",
+#   1-43  every never-attested round-7 addition (modules queries_rproj
+#         through queries_bootstrap) — the VERDICT r7 "What's wrong"
+#         items touch operators/ppjoin.py, streaming/stream.py and
+#         operators/hamming.py, none of which back a window row
+#         (q_simjoin_pairs / stream_hamming_dedup / the in-memory
+#         incremental-dedup twin were all attested in r7); round-8
+#         additions to Hilbert (N-dim) and IVM (retraction) live in
+#         NEW modules so the window-backing files stay byte-identical
+#   44-50 the 7 stalest r4 family heads (corpus clean E2E, the three
+#         remaining dedup variants, the three remaining LSH/IVF ANN
+#         variants) — spreads re-attestation across the biggest
+#         remaining r4 families
+# Round-9 rotation (DECLARED NOW so staleness stays bounded at <=4
+# rounds by construction — VERDICT r7 #2): the 37 remaining r4-stale
+# rows, namely
+#   s3_scan_project_filter, s4_prefilter_scan, s5_split_by_key_counts,
+#   s6_dim_broadcast_join, s7_readback_reprojection,
+#   s9_audit_side_output, p02_double_prefix_collapse,
+#   p06_conditional_prefix, p07_compound_id_split, p08_alt_id_extract,
+#   p09_qualifier_normalize, p10_data_src_substitution,
+#   p11_self_ref_filter, p12_gated_field_move, p13_gated_empty_drop,
+#   p14_gated_column_clear, p15_date_parse_format,
+#   p17_null_safe_helpers, j01_multikey_dispatch_match,
+#   q_bloom_prefilter_join, q_bm25_multi, q_bm25_search, q_cms_counts,
+#   q_compaction_plan, q_degree_histogram, q_fuzzy_name_pairs,
+#   q_gopher_quality, q_hll_registers, q_kmv_distinct,
+#   q_range_interval_join, q_repetition_ratio, q_salted_skew_join,
+#   q_tfidf_topterms, q_triangle_count, q_two_hop_reach,
+#   q_zorder_layout, mm_feature_extract
+# plus the freshest round-8 additions to fill the remaining 13 slots
+# (never-attested first, as always). After r9 the registry is fully
+# drained: every query attested within the last 4 rounds.
+WINDOW_R8 = [
+    # -- never-attested round-7 additions (43) --
+    "q_random_projection",
+    "q_rproj_kernel",
+    "q_rp_ann_recall",
+    "q_rp_rerank",
+    "q_incremental_join_maintain",
+    "q_delta_join_terms",
+    "stream_late_data_audit",
+    "q_entity_resolution_e2e",
+    "q_entity_blocking_stats",
+    "q_unicode_nfc",
+    "q_text_canonicalize",
+    "q_event_transitions",
+    "q_next_event_prediction",
+    "q_json_dead_letter_report",
+    "q_json_quarantine_rows",
+    "q_ffd_pack_assign",
+    "q_ffd_pack_stats",
+    "q_hilbert_layout",
+    "q_hilbert_locality",
+    "q_dedup_aware_sampling",
+    "q_dedup_aware_report",
+    "stream_hll_distinct",
+    "stream_json_quarantine",
+    "sim_knn_join_bucketed",
+    "q_length_bucketing",
+    "q_length_bucketing_gain",
+    "q_length_bucketing_sketch",
+    "corpus_pack_e2e",
+    "q_csv_dead_letter",
+    "q_budget_waterfill",
+    "q_budget_waterfill_audit",
+    "q_chunk_overlap",
+    "q_join_size_cms",
+    "stream_incremental_join",
+    "mm_aspect_bucketing",
+    "q_bbit_minhash_pairs",
+    "q_cohort_retention",
+    "q_cohort_sizes",
+    "q_erasure_plan",
+    "q_rfm_scores",
+    "q_rfm_segments",
+    "q_negative_samples",
+    "q_bootstrap_stats",
+    # -- 7 stalest r4 family heads --
+    "corpus_clean_pipeline",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "sim_lsh_multitable",
 ]
 
 # A rotation edit that drops or duplicates a name would silently shift
 # which queries fall inside the attested first-50 window — assert shape
 # at import time, not just membership (ADVICE.md r5).
-assert len(WINDOW_R7) == 50 == len(set(WINDOW_R7)), (
-    f"WINDOW_R7 must be exactly 50 unique names, got "
-    f"{len(WINDOW_R7)} / {len(set(WINDOW_R7))} unique"
+assert len(WINDOW_R8) == 50 == len(set(WINDOW_R8)), (
+    f"WINDOW_R8 must be exactly 50 unique names, got "
+    f"{len(WINDOW_R8)} / {len(set(WINDOW_R8))} unique"
 )
 
 
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry. Shared SQL fragments
     # live in shared_sql.py (never registers), so no module import drags
-    # another registering module in early. Output order: WINDOW_R7
+    # another registering module in early. Output order: WINDOW_R8
     # first, then every other registered query in module/definition
-    # order (the driver attests the first 50 = exactly WINDOW_R7).
+    # order (the driver attests the first 50 = exactly WINDOW_R8).
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,
@@ -195,7 +184,7 @@ def all_queries() -> dict[str, Q]:
         queries_curation,
         # round-4 additions, modules similarity_pq through
         # queries_refresh_e2e (import position no longer matters for
-        # the window — WINDOW_R7 reorders explicitly)
+        # the window — WINDOW_R8 reorders explicitly)
         queries_similarity_pq,
         queries_diff,
         queries_sketches_hist,
@@ -217,7 +206,7 @@ def all_queries() -> dict[str, Q]:
         queries_refresh_e2e,
         # round-5 additions (attested green in round 6)
         queries_bpe_batched,
-        # round-6 additions (all 38 never-attested rows lead WINDOW_R7)
+        # round-6 additions (all 38 never-attested rows lead WINDOW_R8)
         queries_dsir,
         queries_boilerplate,
         queries_ann_recall,
@@ -272,9 +261,9 @@ def all_queries() -> dict[str, Q]:
         queries_bootstrap,
     )
 
-    missing = [n for n in WINDOW_R7 if n not in _REGISTRY]
+    missing = [n for n in WINDOW_R8 if n not in _REGISTRY]
     if missing:  # a rotation typo must fail loudly, not shrink the window
-        raise KeyError(f"WINDOW_R7 names not in registry: {missing}")
-    ordered = {n: _REGISTRY[n] for n in WINDOW_R7}
+        raise KeyError(f"WINDOW_R8 names not in registry: {missing}")
+    ordered = {n: _REGISTRY[n] for n in WINDOW_R8}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
