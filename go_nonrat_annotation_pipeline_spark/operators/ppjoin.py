@@ -103,6 +103,41 @@ def _prefix_from_tokens(
     return ranked.where(F.col("r") <= plen).select(id_col, "token")
 
 
+def admitted_candidates(
+    toks: DataFrame,
+    pref: DataFrame,
+    t_ppm: int = DEFAULT_T_PPM,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs surviving BOTH the prefix filter and the length
+    filter (Xiao et al. WWW'08 §3: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥
+    t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|), so
+    min·10⁶ ≥ t_ppm·max — all-integer, exact). Recall is untouched: the
+    bound is implied by the threshold, so no qualifying pair is cut.
+
+    Columns: ``id_a, id_b (id_a < id_b), la, lb`` — lengths ride along
+    so verification never re-joins the lens table.
+    """
+    lens = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    a = pref.select(F.col(id_col).alias("id_a"), "token")
+    b = pref.select(F.col(id_col).alias("id_b"), "token")
+    la = lens.select(F.col(id_col).alias("id_a"), F.col("len").alias("la"))
+    lb = lens.select(F.col(id_col).alias("id_b"), F.col("len").alias("lb"))
+    return (
+        a.join(b, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .where(
+            F.expr(f"least(la, lb) * {PPM} >= {t_ppm} * greatest(la, lb)")
+        )
+    )
+
+
 def similarity_join(
     docs: DataFrame,
     t_ppm: int = DEFAULT_T_PPM,
@@ -110,8 +145,9 @@ def similarity_join(
     text_col: str = "text",
 ) -> DataFrame:
     """All document pairs with Jaccard(shingle sets) ≥ t — EXACT (the
-    prefix filter admits every qualifying pair; verification computes
-    true Jaccard on candidates only).
+    prefix filter admits every qualifying pair; the length filter prunes
+    only pairs the threshold already excludes; verification computes
+    true Jaccard on the admitted candidates only).
 
     Columns: ``id_a, id_b (id_a < id_b), inter, uni, jac_ppm``.
     """
@@ -119,31 +155,17 @@ def similarity_join(
     # Pin the prefix cut too: it is the self-join's BOTH sides, and
     # unpinned each side would re-run the df aggregate + per-doc window.
     pref = _prefix_from_tokens(toks, t_ppm, id_col).localCheckpoint()
-    a = pref.select(F.col(id_col).alias("id_a"), "token")
-    b = pref.select(F.col(id_col).alias("id_b"), "token")
-    cands = (
-        a.join(b, "token")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = admitted_candidates(toks, pref, t_ppm, id_col)
     ta = toks.select(F.col(id_col).alias("id_a"), "token")
     tb = toks.select(F.col(id_col).alias("id_b"), "token")
     inter = (
         cands.join(ta, "id_a")
         .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "la", "lb")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    lens = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("len")
-    )
-    la = lens.select(F.col(id_col).alias("id_a"), F.col("len").alias("la"))
-    lb = lens.select(F.col(id_col).alias("id_b"), F.col("len").alias("lb"))
     return (
-        inter.join(la, "id_a")
-        .join(lb, "id_b")
-        .selectExpr(
+        inter.selectExpr(
             "id_a",
             "id_b",
             "inter",
@@ -184,20 +206,28 @@ def sql_similarity_join_ctes(
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM pref a JOIN pref b USING (token)
       WHERE a.doc_id < b.doc_id
-    ), inter AS (
-      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+    ), admitted AS (
+      -- length filter (Xiao et al. WWW'08 section 3): J >= t implies
+      -- t*max(|A|,|B|) <= min(|A|,|B|); all-integer, recall-preserving
+      SELECT c.id_a, c.id_b, la.len AS la, lb.len AS lb
       FROM cands c
+      JOIN lens la ON la.doc_id = c.id_a
+      JOIN lens lb ON lb.doc_id = c.id_b
+      WHERE LEAST(la.len, lb.len) * {PPM}
+            >= {t_ppm} * GREATEST(la.len, lb.len)
+    ), inter AS (
+      SELECT c.id_a, c.id_b, c.la, c.lb,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM admitted c
       JOIN toks ta ON ta.doc_id = c.id_a
       JOIN toks tb ON tb.doc_id = c.id_b AND tb.token = ta.token
-      GROUP BY c.id_a, c.id_b
+      GROUP BY c.id_a, c.id_b, c.la, c.lb
     ), simpairs AS (
       SELECT i.id_a, i.id_b, i.inter,
-             CAST(la.len + lb.len - i.inter AS BIGINT) AS uni,
-             CAST(i.inter * {PPM} // (la.len + lb.len - i.inter)
+             CAST(i.la + i.lb - i.inter AS BIGINT) AS uni,
+             CAST(i.inter * {PPM} // (i.la + i.lb - i.inter)
                   AS BIGINT) AS jac_ppm
       FROM inter i
-      JOIN lens la ON la.doc_id = i.id_a
-      JOIN lens lb ON lb.doc_id = i.id_b
-      WHERE i.inter * {PPM} // (la.len + lb.len - i.inter) >= {t_ppm}
+      WHERE i.inter * {PPM} // (i.la + i.lb - i.inter) >= {t_ppm}
     )
 """
