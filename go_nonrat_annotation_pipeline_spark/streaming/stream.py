@@ -289,12 +289,17 @@ def incremental_dedup_stream(
     from ..operators.dedup import incremental_minhash_dups, minhash_signatures
 
     spark = doc_stream.sparkSession
+    flags_schema = "incoming_id long, store_id long, jaccard double"
+    # Both accumulators are DataFrames pinned per batch: the signature
+    # STORE (as before) and the FLAGGED-pairs table — nothing batch- or
+    # corpus-sized ever crosses to the driver (the durable variant's
+    # posture, unified here per VERDICT r7 #4).
     state = {
         "sigs": minhash_signatures(
             initial_store.select("doc_id", "text")
-        ).localCheckpoint()
+        ).localCheckpoint(),
+        "flags": spark.createDataFrame([], flags_schema).localCheckpoint(),
     }
-    flagged: list = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -307,14 +312,22 @@ def incremental_dedup_stream(
             verify_threshold=verify_threshold,
             store_sigs=state["sigs"],
             incoming_sigs=batch_sigs,
-        ).collect()
-        flagged.extend((r.incoming_id, r.store_id, r.jaccard) for r in pairs)
-        dup_ids = {p[0] for p in pairs}
-        admitted_sigs = batch_sigs.where(
-            ~F.col("_id").isin(list(dup_ids)) if dup_ids else F.lit(True)
+        ).localCheckpoint()
+        # Distributed admission filter: anti-join against the flagged
+        # ids — same shape as the durable store's admission
+        # (_incdedup_make_handler), no collect()+isin round-trip.
+        admitted_sigs = batch_sigs.join(
+            pairs.select(F.col("incoming_id").alias("_id")).distinct(),
+            on="_id",
+            how="left_anti",
         )
         state["sigs"] = (
             state["sigs"].unionByName(admitted_sigs).localCheckpoint()
+        )
+        state["flags"] = (
+            state["flags"]
+            .unionByName(pairs.select("incoming_id", "store_id", "jaccard"))
+            .localCheckpoint()
         )
 
     q = doc_stream.writeStream.outputMode("append").foreachBatch(handle).start()
@@ -322,11 +335,7 @@ def incremental_dedup_stream(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.createDataFrame(
-        flagged, "incoming_id long, store_id long, jaccard double"
-    ) if flagged else spark.createDataFrame(
-        [], "incoming_id long, store_id long, jaccard double"
-    )
+    return state["flags"]
 
 
 def incremental_dedup_stream_durable(
