@@ -6,6 +6,14 @@ row-count, column names, and order-insensitive values (stricter than a
 hash: exact canonicalized row multiset equality).
 
 Usage:  python tools/compare.py [sf_dir] [query ...]
+                                [--sample N] [--seed S]
+
+``--sample N`` runs a deterministic pseudo-random N-query subset of the
+registry (seeded by ``--seed``, default 0) — a fast spot-check mode for
+reviewers who don't want the full ~15-minute sweep. On any mismatch the
+harness prints BOTH engines' per-column dtypes next to the differing
+values (the round-5 ask: every type-boundary red so far was invisible
+in the values and obvious in the types).
 """
 
 from __future__ import annotations
@@ -109,9 +117,25 @@ def type_warnings(scols, sdtypes, dcols, dtypes) -> list[str]:
     ]
 
 
+def dtype_line(label, cols, dtypes) -> str:
+    return f"{label} dtypes: " + ", ".join(
+        f"{c}:{t}" for c, t in zip(cols, dtypes)
+    )
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    args = sys.argv[1:]
+    sample_n = seed = None
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in args if not os.path.isdir(a))
 
     import duckdb
     import __spark_entry__ as entrymod
@@ -126,6 +150,12 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if sample_n is not None and not only:
+        import random
+
+        names = sorted(queries)
+        only = set(random.Random(seed or 0).sample(names, min(sample_n, len(names))))
+        print(f"# --sample {sample_n} (seed {seed or 0}): {' '.join(sorted(only))}")
     results = {}
     for name, fn in queries.items():
         if only and name not in only:
@@ -148,17 +178,34 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-ERROR: {e}"
             continue
+        # Engine dtypes, shown on every mismatch: the round-3/round-5
+        # type-boundary reds had value-identical rows, so values alone
+        # can't diagnose them.
+        try:
+            dtyped = dtype_line("duckdb", *map(list, (con.sql(sql).columns, con.sql(sql).types)))
+        except Exception:  # noqa: BLE001 — typing is advisory
+            dtyped = "duckdb dtypes: <unavailable>"
+        styped = dtype_line("spark", scols, [t for _, t in sdf.dtypes])
         if len(srows) != len(drows):
-            results[name] = f"ROWCOUNT-MISMATCH spark={len(srows)} duckdb={len(drows)}"
+            results[name] = (
+                f"ROWCOUNT-MISMATCH spark={len(srows)} duckdb={len(drows)}"
+                f"\n     {styped}\n     {dtyped}"
+            )
             continue
         if sorted(scols) != sorted(dcols):
-            results[name] = f"SCHEMA-MISMATCH spark={sorted(scols)} duckdb={sorted(dcols)}"
+            results[name] = (
+                f"SCHEMA-MISMATCH spark={sorted(scols)} duckdb={sorted(dcols)}"
+                f"\n     {styped}\n     {dtyped}"
+            )
             continue
         sm, dm = row_multiset(scols, srows), row_multiset(dcols, drows)
         if sm != dm:
             diff_s = list((sm - dm).items())[:3]
             diff_d = list((dm - sm).items())[:3]
-            results[name] = f"VALUE-MISMATCH spark-only={diff_s} duckdb-only={diff_d}"
+            results[name] = (
+                f"VALUE-MISMATCH spark-only={diff_s} duckdb-only={diff_d}"
+                f"\n     {styped}\n     {dtyped}"
+            )
         else:
             # values agree — but the driver's hash is TYPED; warn on any
             # per-column engine type-class divergence (doesn't fail the
