@@ -259,6 +259,8 @@ def all_queries() -> dict[str, Q]:
         queries_rfm,
         queries_negatives,
         queries_bootstrap,
+        # round-8 additions (after the window; round-9 rotation fill)
+        queries_hilbert3,
     )
 
     missing = [n for n in WINDOW_R8 if n not in _REGISTRY]
