@@ -261,6 +261,7 @@ def all_queries() -> dict[str, Q]:
         queries_bootstrap,
         # round-8 additions (after the window; round-9 rotation fill)
         queries_hilbert3,
+        queries_ivm_retract,
     )
 
     missing = [n for n in WINDOW_R8 if n not in _REGISTRY]
