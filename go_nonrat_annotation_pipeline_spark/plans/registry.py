@@ -87,6 +87,30 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # plus the freshest round-8 additions to fill the remaining 13 slots
 # (never-attested first, as always). After r9 the registry is fully
 # drained: every query attested within the last 4 rounds.
+#
+# WINDOW_R9 below IS that declared rotation, verbatim: the 4
+# never-attested round-8 additions first, then the 37 r4-stale rows
+# (exactly the list above, in registry/module order), then the 9
+# stalest r5 rows (registry order) to fill to 50. Round-8's window is
+# kept alongside for provenance (CORRECTNESS_r08 names == WINDOW_R8).
+#
+# Round-10 rotation (DECLARED NOW, same bounded-staleness discipline):
+# the 37 remaining r5-attested rows, namely
+#   j12_active_semi_join, a1_source_line_counts, a6_before_after_counts,
+#   q5_multiway_join_agg, w3_session_window_native,
+#   stream_stateful_sessions, stream_session_window, sim_pq_adc,
+#   sim_pq_rerank, sim_ivf_pq, sim_pq_adc_kernel,
+#   q_snapshot_diff_counts, q_snapshot_diff_rows, q_hist_quantile_state,
+#   q_hist_merge_law, q_hll_merge_law, dedup_incremental,
+#   stream_incremental_dedup, q_cluster_canonical, q_langid_trained,
+#   q_expectations_report, q_k_anonymity, q_hist_by_source,
+#   stream_cms_counters, q_pps_sample, stream_static_enrich,
+#   q_value_outliers, q_funnel_ordered, q_orc_roundtrip, q_hll_by_group,
+#   q_kmv_merge_law, q_cms_merge_law, q_semdedup_drops,
+#   q_semdedup_report, q_pii_redact, corpus_curation_e2e,
+#   corpus_refresh_e2e
+# plus round-9 additions (never-attested first, as always) to fill the
+# remaining 13 slots.
 WINDOW_R8 = [
     # -- never-attested round-7 additions (43) --
     "q_random_projection",
@@ -142,21 +166,77 @@ WINDOW_R8 = [
     "sim_lsh_multitable",
 ]
 
+WINDOW_R9 = [
+    # -- never-attested round-8 additions (4) --
+    "q_hilbert3_layout",
+    "q_hilbert3_locality",
+    "q_join_view_retract",
+    "stream_join_view_retract",
+    # -- the 37 r4-stale rows (last attested in CORRECTNESS_r04) --
+    "mm_feature_extract",
+    "q_salted_skew_join",
+    "q_tfidf_topterms",
+    "q_bm25_search",
+    "q_bm25_multi",
+    "q_fuzzy_name_pairs",
+    "q_hll_registers",
+    "q_kmv_distinct",
+    "q_cms_counts",
+    "q_range_interval_join",
+    "q_bloom_prefilter_join",
+    "q_gopher_quality",
+    "q_repetition_ratio",
+    "q_triangle_count",
+    "q_two_hop_reach",
+    "q_degree_histogram",
+    "q_zorder_layout",
+    "q_compaction_plan",
+    "s3_scan_project_filter",
+    "s4_prefilter_scan",
+    "s5_split_by_key_counts",
+    "s6_dim_broadcast_join",
+    "s7_readback_reprojection",
+    "s9_audit_side_output",
+    "p02_double_prefix_collapse",
+    "p06_conditional_prefix",
+    "p07_compound_id_split",
+    "p08_alt_id_extract",
+    "p09_qualifier_normalize",
+    "p10_data_src_substitution",
+    "p11_self_ref_filter",
+    "p12_gated_field_move",
+    "p13_gated_empty_drop",
+    "p14_gated_column_clear",
+    "p15_date_parse_format",
+    "p17_null_safe_helpers",
+    "j01_multikey_dispatch_match",
+    # -- the 9 stalest r5 rows (registry order) to fill to 50 --
+    "stream_tumbling_agg",
+    "j02_fallback_cascade",
+    "j05_post_match_guard",
+    "j06_two_hop_edge_join",
+    "j07_evidence_gate",
+    "a2_rejected_code_counts",
+    "j08_lookup_with_null_audit",
+    "j09_exclusion_anti_join",
+    "j11_nullsafe_key_match",
+]
+
 # A rotation edit that drops or duplicates a name would silently shift
 # which queries fall inside the attested first-50 window — assert shape
 # at import time, not just membership (ADVICE.md r5).
-assert len(WINDOW_R8) == 50 == len(set(WINDOW_R8)), (
-    f"WINDOW_R8 must be exactly 50 unique names, got "
-    f"{len(WINDOW_R8)} / {len(set(WINDOW_R8))} unique"
+assert len(WINDOW_R9) == 50 == len(set(WINDOW_R9)), (
+    f"WINDOW_R9 must be exactly 50 unique names, got "
+    f"{len(WINDOW_R9)} / {len(set(WINDOW_R9))} unique"
 )
 
 
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry. Shared SQL fragments
     # live in shared_sql.py (never registers), so no module import drags
-    # another registering module in early. Output order: WINDOW_R8
+    # another registering module in early. Output order: WINDOW_R9
     # first, then every other registered query in module/definition
-    # order (the driver attests the first 50 = exactly WINDOW_R8).
+    # order (the driver attests the first 50 = exactly WINDOW_R9).
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,
@@ -264,9 +344,9 @@ def all_queries() -> dict[str, Q]:
         queries_ivm_retract,
     )
 
-    missing = [n for n in WINDOW_R8 if n not in _REGISTRY]
+    missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
     if missing:  # a rotation typo must fail loudly, not shrink the window
-        raise KeyError(f"WINDOW_R8 names not in registry: {missing}")
-    ordered = {n: _REGISTRY[n] for n in WINDOW_R8}
+        raise KeyError(f"WINDOW_R9 names not in registry: {missing}")
+    ordered = {n: _REGISTRY[n] for n in WINDOW_R9}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
