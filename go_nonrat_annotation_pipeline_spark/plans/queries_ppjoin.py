@@ -68,7 +68,7 @@ def q_simjoin_prune_stats(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
-    admitted = PJ.admitted_candidates(toks, pref, _T_PPM, "doc_id")
+    admitted = PJ.admitted_candidates(pref, _T_PPM, "doc_id")
     pairs = PJ.similarity_join(docs, _T_PPM)
     return (
         toks.agg(F.count(F.lit(1)).cast("long").alias("n_token_rows"))
