@@ -222,7 +222,92 @@ def tail6_probe(mult: int = 20):
     )
 
 
+def ivm_churn_probe(rounds: int = 10, keys: int = 20000):
+    """Retraction-IVM churn probe (VERDICT r8 #3): `rounds` batches of
+    full-turnover CDC (each round deletes the previous round's L rows
+    and inserts replacements — tombstone pairs accrete), then one
+    compaction. Reports store growth, per-batch maintenance time on the
+    bloated vs compacted store, and the compaction fold ratio. The
+    scale claim: the compacted store is bounded by the LIVE set (keys),
+    independent of churn depth — run with rounds=10 and rounds=20 to
+    see store rows double while post-compaction rows stay flat."""
+    import shutil as _sh
+    import tempfile
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.streaming.ivm_compact import (
+        compact_ivm_retract,
+    )
+    from go_nonrat_annotation_pipeline_spark.streaming.ivm_retract import (
+        make_ivm_retract_handler,
+    )
+
+    root = tempfile.mkdtemp(prefix="ivm_churn_")
+    l_dir, r_dir, v_dir = (os.path.join(root, d) for d in ("l", "r", "v"))
+    for path, ddl in (
+        (l_dir, "k long, attr string"),
+        (r_dir, "k long, qty long"),
+    ):
+        spark.createDataFrame([], ddl).withColumn(
+            "sign", F.lit(1).cast("long")
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, "admit_batch=-1")
+        )
+    handler = make_ivm_retract_handler(spark, l_dir, r_dir, v_dir)
+
+    def batch(r: int):
+        ins = spark.range(keys).selectExpr(
+            "'L' AS side", "'I' AS op", "id AS k",
+            f"concat('a{r}_', id) AS attr", "CAST(NULL AS LONG) AS qty",
+        )
+        if r == 0:
+            dels = spark.createDataFrame([], ins.schema)
+            rrows = spark.range(keys).selectExpr(
+                "'R' AS side", "'I' AS op", "id AS k",
+                "CAST(NULL AS STRING) AS attr", "id * 10 AS qty",
+            )
+            return ins.unionByName(rrows)
+        dels = spark.range(keys).selectExpr(
+            "'L' AS side", "'D' AS op", "id AS k",
+            f"concat('a{r - 1}_', id) AS attr", "CAST(NULL AS LONG) AS qty",
+        )
+        return ins.unionByName(dels)
+
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        handler(batch(r), r)
+    churn_t = time.perf_counter() - t0
+    print(
+        f"churn: {rounds} rounds x {keys:,} keys "
+        f"({churn_t:.2f}s, {churn_t / rounds:.2f}s/batch avg)"
+    )
+    timed(
+        "probe_batch(bloated store)",
+        lambda: (handler(batch(rounds), rounds), keys)[1],
+        keys,
+    )
+    t0 = time.perf_counter()
+    stats = compact_ivm_retract(spark, l_dir, r_dir, v_dir)
+    dt = time.perf_counter() - t0
+    for store, (b, a) in stats.items():
+        print(f"compact[{store}]: {b:,} rows -> {a:,} ({b / max(a, 1):.1f}x fold)")
+    print(f"compaction wall: {dt:.2f}s")
+    timed(
+        "probe_batch(compacted store)",
+        lambda: (handler(batch(rounds + 1), rounds + 1), keys)[1],
+        keys,
+    )
+    _sh.rmtree(root, ignore_errors=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "ivm":
+        ivm_churn_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "drain":
         drain_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8000)
         return
