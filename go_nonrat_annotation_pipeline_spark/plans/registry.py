@@ -342,6 +342,8 @@ def all_queries() -> dict[str, Q]:
         # round-8 additions (after the window; round-9 rotation fill)
         queries_hilbert3,
         queries_ivm_retract,
+        # round-9 additions (after WINDOW_R9; round-10 rotation fill)
+        queries_layout3_e2e,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
