@@ -125,7 +125,7 @@ def dtype_line(label, cols, dtypes) -> str:
 
 def main():
     args = sys.argv[1:]
-    sample_n = seed = None
+    sample_n, seed = None, 0
     if "--sample" in args:
         i = args.index("--sample")
         sample_n = int(args[i + 1])
@@ -150,12 +150,18 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    if sample_n is not None and not only:
+    if sample_n is not None and only:
+        sys.exit(
+            "--sample cannot be combined with explicit query names "
+            f"(got both --sample {sample_n} and {sorted(only)}); "
+            "drop one of the two"
+        )
+    if sample_n is not None:
         import random
 
         names = sorted(queries)
-        only = set(random.Random(seed or 0).sample(names, min(sample_n, len(names))))
-        print(f"# --sample {sample_n} (seed {seed or 0}): {' '.join(sorted(only))}")
+        only = set(random.Random(seed).sample(names, min(sample_n, len(names))))
+        print(f"# --sample {sample_n} (seed {seed}): {' '.join(sorted(only))}")
     results = {}
     for name, fn in queries.items():
         if only and name not in only:
