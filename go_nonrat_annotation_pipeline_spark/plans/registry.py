@@ -345,6 +345,7 @@ def all_queries() -> dict[str, Q]:
         # round-9 additions (after WINDOW_R9; round-10 rotation fill)
         queries_layout3_e2e,
         queries_decontam,
+        queries_split,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
