@@ -346,6 +346,7 @@ def all_queries() -> dict[str, Q]:
         queries_layout3_e2e,
         queries_decontam,
         queries_split,
+        queries_fim,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
