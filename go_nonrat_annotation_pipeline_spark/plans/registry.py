@@ -347,6 +347,7 @@ def all_queries() -> dict[str, Q]:
         queries_decontam,
         queries_split,
         queries_fim,
+        queries_epochshuffle,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
