@@ -348,6 +348,7 @@ def all_queries() -> dict[str, Q]:
         queries_split,
         queries_fim,
         queries_epochshuffle,
+        queries_pmi,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
