@@ -349,6 +349,8 @@ def all_queries() -> dict[str, Q]:
         queries_fim,
         queries_epochshuffle,
         queries_pmi,
+        queries_streaming_decontam,
+        queries_trainsplit_e2e,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
