@@ -94,6 +94,16 @@ EXTENDED = [
     "q_hilbert_locality",
     "q_dedup_aware_sampling",
     "q_unicode_nfc",
+    # round 9 additions: benchmark decontamination, leakage-safe split,
+    # FIM transform, epoch shuffle, PMI collocations, the governance E2E,
+    # and the 3-D Hilbert write->skip model
+    "corpus_decontam_e2e",
+    "q_split_leakage_audit",
+    "q_fim_report",
+    "q_epoch_shuffle_decorrelation",
+    "q_pmi_collocations",
+    "corpus_trainsplit_e2e",
+    "corpus_layout3_e2e",
 ]
 
 
