@@ -117,7 +117,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   corpus_decontam_e2e, q_leakage_safe_split, q_split_leakage_audit,
 #   q_fim_spans, q_fim_report, q_epoch_shuffle_layout,
 #   q_epoch_shuffle_decorrelation, q_pmi_collocations,
-#   stream_decontam_gate, corpus_trainsplit_e2e
+#   stream_decontam_gate, corpus_trainsplit_e2e, q_priority_sample,
+#   q_priority_sample_audit
 WINDOW_R8 = [
     # -- never-attested round-7 additions (43) --
     "q_random_projection",
@@ -358,6 +359,7 @@ def all_queries() -> dict[str, Q]:
         queries_pmi,
         queries_streaming_decontam,
         queries_trainsplit_e2e,
+        queries_priority,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
