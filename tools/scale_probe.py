@@ -317,6 +317,9 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "tail7":
         tail7_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "tail9":
+        tail9_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1112,6 +1115,79 @@ def _round7_rows(docs, emb, li, n_docs, n_emb, n_li):
             er_keys, "id", F.col("key"), 2, 4
         ).count(),
         n_docs,
+    )
+
+
+def tail9_probe(mult: int = 20):
+    """Only the round-9 rows (decontam / split / FIM / epoch shuffle /
+    PMI / priority sampling) — the fast path for the newest families.
+    Benchmark for decontam stays FIXED size (doc_id % 29 of the BASE
+    table) while the corpus inflates — the production asymmetry."""
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        collocations as CO,
+        decontam as DC,
+        epochshuffle as ES,
+        fim as FM,
+        sampling_priority as PR,
+        splitting as SP,
+    )
+
+    base = load_table(spark, SF_DIR, "documents")
+    bench = base.where("doc_id % 29 = 0").localCheckpoint()
+    docs = inflate(base.where("doc_id % 29 != 0"), "doc_id", mult)
+    li = inflate(
+        load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        ),
+        "l_orderkey",
+        mult,
+    )
+    n_docs, n_li = docs.count(), li.count()
+    print(f"corpus: {n_docs:,} docs, {n_li:,} li; bench fixed "
+          f"{bench.count():,}  (x{mult})")
+    timed(
+        "decontam_verdicts(broadcast gram gate)",
+        lambda: DC.contamination_verdicts(docs, bench).count(),
+        n_docs,
+    )
+    timed(
+        "split_assign+leak_audit(map + 1 agg)",
+        lambda: SP.leaky_clusters(
+            SP.assign_splits(docs, F.substring("text", 1, 40))
+        ).count(),
+        n_docs,
+    )
+    timed(
+        "fim_transform(map only)",
+        lambda: FM.fim_transform(docs)
+        .agg(F.sum("len_middle"))
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "epoch_layout+gpos(sharded window)",
+        lambda: ES.global_positions(ES.epoch_layout(docs, 1, 64))
+        .agg(F.sum("gpos"))
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "pmi_collocations(top-50)",
+        lambda: CO.bigram_pmi(docs).orderBy(
+            F.desc("pmi_ratio_ppm"), "w1", "w2"
+        ).limit(50).count(),
+        n_docs,
+    )
+    timed(
+        "priority_sample(k=200 TakeOrdered)",
+        lambda: PR.priority_sample(
+            li, F.col("l_quantity"),
+            F.concat_ws("_", "l_orderkey", "l_linenumber"),
+            200, order_cols=["l_orderkey", "l_linenumber"],
+        ).count(),
+        n_li,
     )
 
 
