@@ -361,6 +361,7 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_decontam,
         queries_trainsplit_e2e,
         queries_priority,
+        queries_minmax_ivm,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]

@@ -1,0 +1,126 @@
+"""MIN k-buffer maintenance (operators/incragg_minmax.py): maintained
+min ≡ recompute for every non-rescan group across randomized CDC,
+rescans happen exactly when the buffer exhausts, complete groups stay
+exact, new groups and duplicate values behave."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from go_nonrat_annotation_pipeline_spark.operators.incragg_minmax import (
+    min_view,
+    minbuf_maintain,
+    minbuf_state,
+)
+
+K = 4
+SCHEMA = "g long, v long"
+
+
+def _apply_reference(base, ins, dels):
+    """Python multiset reference."""
+    from collections import Counter
+
+    c = Counter(base)
+    for r in dels:
+        assert c[r] > 0, f"CDC contract violated: {r}"
+        c[r] -= 1
+    for r in ins:
+        c[r] += 1
+    return [x for x, n in c.items() for _ in range(n)]
+
+
+def _check(spark, base, ins, dels):
+    bdf = spark.createDataFrame(base, SCHEMA)
+    idf = spark.createDataFrame(ins or [(None, None)], SCHEMA).where(
+        "g IS NOT NULL"
+    )
+    ddf = spark.createDataFrame(dels or [(None, None)], SCHEMA).where(
+        "g IS NOT NULL"
+    )
+    st = minbuf_state(bdf, "g", "v", K)
+    st2 = minbuf_maintain(st, idf, ddf, "g", "v", K)
+    got = {r.g: r for r in min_view(st2, "g").collect()}
+
+    truth = _apply_reference(base, ins, dels)
+    want = {}
+    for g, v in truth:
+        want.setdefault(g, []).append(v)
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    rescans = set()
+    for g, vals in want.items():
+        r = got[g]
+        assert r.n == len(vals)
+        if r.needs_rescan:
+            rescans.add(g)
+        else:
+            assert r.min_val == min(vals), (g, r.min_val, min(vals))
+    return rescans
+
+
+def test_randomized_maintenance_matches_recompute(spark):
+    rng = random.Random(7)
+    base = [(g, rng.randrange(100)) for g in range(12) for _ in range(rng.randrange(1, 12))]
+    from collections import Counter
+
+    pool = Counter(base)
+    dels = []
+    for _ in range(25):
+        g, v = rng.choice(list(pool.elements()))
+        if pool[(g, v)] > 0 and dels.count((g, v)) < pool[(g, v)]:
+            dels.append((g, v))
+    ins = [(rng.randrange(14), rng.randrange(100)) for _ in range(20)]
+    _check(spark, base, ins, dels)
+
+
+def test_delete_the_minimum_stays_exact_until_buffer_exhausts(spark):
+    base = [(1, v) for v in [5, 10, 15, 20, 25, 30]]
+    # delete the 3 smallest: buffer (k=4) still holds 20 -> exact
+    rescans = _check(spark, base, [], [(1, 5), (1, 10), (1, 15)])
+    assert rescans == set()
+    # delete all 4 buffered smallest: buffer empty, 25/30 unbuffered -> rescan
+    rescans = _check(spark, base, [], [(1, 5), (1, 10), (1, 15), (1, 20)])
+    assert rescans == {1}
+
+
+def test_complete_group_never_rescans(spark):
+    base = [(2, 7), (2, 9)]  # n <= k: whole group buffered
+    rescans = _check(
+        spark, base, [(2, 100), (2, 1)], [(2, 7), (2, 9)]
+    )
+    assert rescans == set()  # min becomes 1, exactly
+
+
+def test_insert_below_boundary_repairs_deleted_min(spark):
+    base = [(3, v) for v in range(10, 70, 10)]
+    # delete current min, insert a smaller value in the same batch
+    rescans = _check(spark, base, [(3, 1)], [(3, 10)])
+    assert rescans == set()
+
+
+def test_new_group_and_trim(spark):
+    rescans = _check(spark, [], [(9, v) for v in [8, 6, 4, 2, 0, 10]], [])
+    assert rescans == set()  # new group: min exact even past k inserts
+
+
+def test_duplicate_values_multiset(spark):
+    base = [(4, 5), (4, 5), (4, 5), (4, 9)]
+    rescans = _check(spark, base, [], [(4, 5), (4, 5)])
+    assert rescans == set()  # one 5 remains buffered -> min still 5
+
+
+def test_second_batch_composes(spark):
+    base = [(1, v) for v in [5, 10, 15, 20, 25, 30]]
+    bdf = spark.createDataFrame(base, SCHEMA)
+    st = minbuf_state(bdf, "g", "v", K)
+    d1 = spark.createDataFrame([(1, 5), (1, 10)], SCHEMA)
+    i1 = spark.createDataFrame([(1, 2)], SCHEMA)
+    st = minbuf_maintain(st, i1, d1, "g", "v", K).localCheckpoint()
+    d2 = spark.createDataFrame([(1, 2), (1, 15)], SCHEMA)
+    i2 = spark.createDataFrame([(1, 17)], SCHEMA)
+    st = minbuf_maintain(st, i2, d2, "g", "v", K)
+    row = min_view(st, "g").collect()[0]
+    # remaining: 17, 20, 25, 30
+    assert (row.n, row.min_val, row.needs_rescan) == (4, 17, False)
