@@ -362,6 +362,7 @@ def all_queries() -> dict[str, Q]:
         queries_trainsplit_e2e,
         queries_priority,
         queries_minmax_ivm,
+        queries_survivorship,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
