@@ -110,16 +110,17 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_semdedup_report, q_pii_redact, corpus_curation_e2e,
 #   corpus_refresh_e2e
 # plus round-9 additions (never-attested first, as always) to fill the
-# remaining 13 slots. Round-9 ledger — the 15 trailing additions, in
+# remaining 13 slots. Round-9 ledger — the 18 trailing additions, in
 # registration order (modules queries_layout3_e2e through
-# queries_priority; the first 13 fill round-10's window, the rest lead
-# round-11's):
+# queries_survivorship; the first 13 fill round-10's window, the rest
+# lead round-11's):
 #   corpus_layout3_e2e, q_decontam_verdicts, q_decontam_report,
 #   corpus_decontam_e2e, q_leakage_safe_split, q_split_leakage_audit,
 #   q_fim_spans, q_fim_report, q_epoch_shuffle_layout,
 #   q_epoch_shuffle_decorrelation, q_pmi_collocations,
 #   stream_decontam_gate, corpus_trainsplit_e2e, q_priority_sample,
-#   q_priority_sample_audit
+#   q_priority_sample_audit, q_incremental_min_maintain,
+#   q_incremental_min_rescan_audit, q_golden_record
 WINDOW_R8 = [
     # -- never-attested round-7 additions (43) --
     "q_random_projection",
