@@ -1189,6 +1189,34 @@ def tail9_probe(mult: int = 20):
         ).count(),
         n_li,
     )
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        incragg_minmax as MM,
+        survivorship as SV,
+    )
+
+    mmbase = li.selectExpr("l_orderkey DIV 8 AS g",
+                           "CAST(l_quantity AS LONG) AS v")
+    st = MM.minbuf_state(mmbase, "g", "v", 8).localCheckpoint()
+
+    def _mm():
+        st2 = MM.minbuf_maintain(
+            st,
+            mmbase.where("g % 11 = 0").selectExpr("g", "v + 7 AS v"),
+            mmbase.where("v <= 5"),
+            "g", "v", 8,
+        )
+        return MM.min_view(st2, "g").where("NOT needs_rescan").count()
+
+    timed("min_ivm_maintain(k=8 buffer)", _mm, n_li)
+    timed(
+        "golden_record(mode pick)",
+        lambda: SV.pick_mode(
+            li.selectExpr("l_orderkey DIV 8 AS cl",
+                          "CAST(l_quantity AS STRING) AS val"),
+            "cl", "val",
+        ).count(),
+        n_li,
+    )
 
 
 def tail7_probe(mult: int = 20):
