@@ -121,6 +121,16 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   stream_decontam_gate, corpus_trainsplit_e2e, q_priority_sample,
 #   q_priority_sample_audit, q_incremental_min_maintain,
 #   q_incremental_min_rescan_audit, q_golden_record
+#
+# Round-9 deferrals (freeze rule): two ADVICE r8 items land in
+# round 10 because their modules back WINDOW_R9 rows and the driver
+# may snapshot at any time — (a) `bits >= 2` validation in
+# operators/hilbert_nd.with_hilbert_key_nd / sql_hilbert_nd_ctes
+# (bits=1 raises an opaque IndexError today; registered queries use
+# bits=6), and (b) the ivm_retract.read_view_net clean-drain caveat
+# (document, or filter view partitions against committed admit ids).
+# Both are additive/no-behavior-change for the attested queries, but
+# byte-identical window modules beat a low-priority lint fix.
 WINDOW_R8 = [
     # -- never-attested round-7 additions (43) --
     "q_random_projection",
