@@ -374,6 +374,7 @@ def all_queries() -> dict[str, Q]:
         queries_priority,
         queries_minmax_ivm,
         queries_survivorship,
+        queries_streaming_priority,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
