@@ -375,6 +375,7 @@ def all_queries() -> dict[str, Q]:
         queries_minmax_ivm,
         queries_survivorship,
         queries_streaming_priority,
+        queries_fertility,
     )
 
     missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
