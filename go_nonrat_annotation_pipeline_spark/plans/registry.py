@@ -110,9 +110,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_semdedup_report, q_pii_redact, corpus_curation_e2e,
 #   corpus_refresh_e2e
 # plus round-9 additions (never-attested first, as always) to fill the
-# remaining 13 slots. Round-9 ledger — the 18 trailing additions, in
+# remaining 13 slots. Round-9 ledger — the 20 trailing additions, in
 # registration order (modules queries_layout3_e2e through
-# queries_survivorship; the first 13 fill round-10's window, the rest
+# queries_fertility; the first 13 fill round-10's window, the rest
 # lead round-11's):
 #   corpus_layout3_e2e, q_decontam_verdicts, q_decontam_report,
 #   corpus_decontam_e2e, q_leakage_safe_split, q_split_leakage_audit,
@@ -120,7 +120,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_epoch_shuffle_decorrelation, q_pmi_collocations,
 #   stream_decontam_gate, corpus_trainsplit_e2e, q_priority_sample,
 #   q_priority_sample_audit, q_incremental_min_maintain,
-#   q_incremental_min_rescan_audit, q_golden_record
+#   q_incremental_min_rescan_audit, q_golden_record,
+#   stream_priority_sample, q_tokenizer_fertility
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
