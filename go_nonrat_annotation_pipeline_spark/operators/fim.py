@@ -32,12 +32,18 @@ PPM = 1_000_000
 DEFAULT_RATE_PPM = 500_000
 
 
-def _cut(salt: str, tag: str, id_col: str) -> F.Column:
-    """Deterministic cut point in [0, len] from md5(salt|tag|id)."""
+def _cut(salt: str, tag: str, id_col: str, text_col: str) -> F.Column:
+    """Deterministic cut point in [0, len] from md5(salt|tag|id).
+    Length is over the COALESCED text (ADVICE r9: NULL text must cut
+    at 0, not propagate NULL through h % (NULL+1) — the spans are
+    sliced from the same coalesced text, so the invariant
+    prefix || middle || suffix == coalesce(text, '') holds always)."""
     h = H.char_hash(
         F.concat(F.lit(f"{salt}|{tag}|"), F.col(id_col).cast("string"))
     )
-    return h % (F.length("text") + F.lit(1))
+    return h % (
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) + F.lit(1)
+    )
 
 
 def fim_transform(
@@ -56,7 +62,10 @@ def fim_transform(
         % PPM
         < rate_ppm
     )
-    a, b = _cut(salt, "a", id_col), _cut(salt, "b", id_col)
+    a, b = (
+        _cut(salt, "a", id_col, text_col),
+        _cut(salt, "b", id_col, text_col),
+    )
     lo, hi = F.least(a, b), F.greatest(a, b)
     t = F.coalesce(F.col(text_col), F.lit(""))
     out = docs.select(
@@ -90,7 +99,7 @@ def sql_fim_ctes(
     :func:`fim_transform`). Avoid names fim_* around it."""
     def cut(tag: str) -> str:
         h = H.sql_char_hash(f"'{salt}|{tag}|' || CAST(doc_id AS VARCHAR)")
-        return f"({h} % (LENGTH(text) + 1))"
+        return f"({h} % (LENGTH(COALESCE(text, '')) + 1))"
 
     gate = (
         H.sql_char_hash(f"'{salt}|g|' || CAST(doc_id AS VARCHAR)")

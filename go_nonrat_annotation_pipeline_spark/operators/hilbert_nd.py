@@ -137,6 +137,11 @@ def with_hilbert_key_nd(
     n = len(dim_cols)
     if n < 2:
         raise ValueError("need at least 2 dimensions")
+    if bits < 2:
+        raise ValueError(
+            "bits must be >= 2 (Skilling's final fold reads the top "
+            f"transposed bit; bits={bits} has none below it)"
+        )
     if n * bits > 62:
         raise ValueError(f"n*bits = {n * bits} overflows BIGINT")
     names = [f"_hnd{i}" for i in range(n)]
@@ -163,6 +168,13 @@ def sql_hilbert_nd_ctes(
     ``hnd_final`` (out_col BIGINT + carry_cols). Per-step distinct
     column names (hx{i}_{s}) — no lateral-alias reliance (the r7
     lesson). Avoid names hnd_* around it."""
+    if n < 2:
+        raise ValueError("need at least 2 dimensions")
+    if bits < 2:
+        raise ValueError(
+            "bits must be >= 2 (Skilling's final fold reads the top "
+            f"transposed bit; bits={bits} has none below it)"
+        )
     carry = "".join(f", {c}" for c in carry_cols)
     parts = []
     prev = source_cte

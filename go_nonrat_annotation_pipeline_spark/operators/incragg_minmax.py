@@ -25,7 +25,11 @@ MAINTENANCE (one batch, pure relational — no base rescan):
 - the merged buffer re-trims to its k smallest (the boundary only
   tightens, so the invariant is preserved); a trim clears
   ``complete``;
-- n follows signed counts; groups reaching n = 0 drop.
+- n follows signed counts; groups reaching n = 0 drop;
+- an EXHAUSTED group (buf = [], n > 0) stays exhausted — inserts bump
+  n but are NOT buffered (the empty buffer has no boundary, so a
+  re-seeded buffer could not prove it holds the minimum) — until the
+  caller rescans it with :func:`minbuf_state`.
 
 Scale shape: the state is k values per group (dictionary-sized);
 maintenance explodes ONLY the state + batch (never the base), one
@@ -71,28 +75,47 @@ def minbuf_maintain(
     """Apply a CDC batch (``inserts`` / ``deletes``: rows of
     (group_col, value_col); deletes MUST exist in the base — the CDC
     contract). Returns the new state; a group with ``buf = []`` and
-    ``n > 0`` needs a rescan (see :func:`min_view`)."""
+    ``n > 0`` needs a rescan (see :func:`min_view`). Exhaustion is
+    STICKY: further batches leave such a group's buffer empty (inserts
+    only bump ``n``) until the caller rescans it via
+    :func:`minbuf_state` — re-seeding from an insert alone would lose
+    smaller unbuffered base values."""
     g, v = group_col, value_col
     bounds = state.select(
         g,
-        F.element_at("buf", -1).alias("_bmax"),
+        # try_: an exhausted group's buf is empty and plain element_at
+        # throws under ANSI; _exh below is what the logic branches on
+        F.try_element_at("buf", F.lit(-1)).alias("_bmax"),
         F.col("complete").alias("_comp"),
+        # ADVICE r9: an EXHAUSTED group (buf drained, rows remain) must
+        # stay flagged — its _bmax is NULL exactly like a brand-new
+        # group's, so an explicit flag is what tells them apart. An
+        # insert into an exhausted group must NOT re-seed the buffer
+        # (smaller unbuffered base values may remain; min_view would
+        # report the insert as the min and clear needs_rescan).
+        (F.size("buf") == 0).alias("_exh"),
     )
     ins = inserts.select(g, F.col(v).cast("long").alias("_v"))
     dels = deletes.select(g, F.col(v).cast("long").alias("_v"))
 
-    # buffer-relevant slices of the batch (outside rows only touch n)
+    # buffer-relevant slices of the batch (outside rows only touch n;
+    # exhausted groups buffer NOTHING until the caller rescans them)
     d_buf = (
         dels.join(bounds, g)
-        .where(F.col("_comp") | (F.col("_v") <= F.col("_bmax")))
+        .where(
+            (~F.col("_exh"))
+            & (F.col("_comp") | (F.col("_v") <= F.col("_bmax")))
+        )
         .select(g, "_v")
     )
     i_buf = (
         ins.join(bounds, g, "left")
         .where(
-            F.col("_bmax").isNull()  # brand-new group: buffer everything
-            | F.col("_comp")
-            | (F.col("_v") <= F.col("_bmax"))
+            F.col("_exh").isNull()  # no state row: brand-new group
+            | (
+                (~F.col("_exh"))
+                & (F.col("_comp") | (F.col("_v") <= F.col("_bmax")))
+            )
         )
         .select(g, "_v")
     )

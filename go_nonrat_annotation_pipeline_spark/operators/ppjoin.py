@@ -189,7 +189,7 @@ def sql_similarity_join_ctes(
     t_ppm: int = DEFAULT_T_PPM, table: str = "documents"
 ) -> str:
     """DuckDB mirror of :func:`similarity_join` as CTEs defining
-    ``simpairs`` (avoid toks/dft/lens/pref/cands/inter around it)."""
+    ``simpairs`` (avoid toks/dft/lens/pref/admitted/inter around it)."""
     sh = H.sql_shingle_hashes(
         H.sql_word_hashes("STRING_SPLIT(text, ' ')"), SHINGLE_N
     )
@@ -210,10 +210,6 @@ def sql_similarity_join_ctes(
                                   ORDER BY dft.df, t.token) AS r
         FROM toks t JOIN dft USING (token) JOIN lens USING (doc_id))
       WHERE r <= len - (({t_ppm} * len + {PPM} - 1) // {PPM}) + 1
-    ), cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM pref a JOIN pref b USING (token)
-      WHERE a.doc_id < b.doc_id
     ), admitted AS (
       -- length filter (Xiao et al. WWW'08 section 3): J >= t implies
       -- t*max(|A|,|B|) <= min(|A|,|B|); all-integer, recall-preserving.

@@ -34,12 +34,17 @@ checkpoint so batch ids stay monotonic (the compacted seed sits at
 partition id −1, below every future batch's ``admit_batch < N``
 probe).
 
-The swap-directory commit mirrors sources/maintenance.compact_parquet
-(write to ``<store>.compact_tmp`` → rmtree store → rename tmp);
-an interrupted compaction is recovered on the next call: tmp present
-with the store intact → discard tmp (fold never committed); tmp
-present with the store missing → finish the rename (the tmp is
-complete by construction once the store was removed).
+The swap commit is RENAME-ONLY on the critical path (ADVICE r9: a
+crash mid-``rmtree(store)`` would leave a partially-deleted store that
+recovery could mistake for the intact original): write
+``<store>.compact_tmp`` → rename store → ``<store>.compact_old`` →
+rename tmp → store → delete old. Every state an interruption can
+leave is unambiguous — the store directory is always either the
+complete original or the complete compacted copy, never truncated:
+tmp present with the store intact → fold never committed, discard
+tmp; store missing with tmp present → finish rename 2; store missing
+with only old present → undo rename 1; old present with the store
+intact → the swap committed, finish the cleanup delete.
 
 Reference posture parity: the reference refreshes its annotation set
 incrementally and periodically folds accumulated updates
@@ -61,13 +66,24 @@ VIEW_SCHEMA = "k long, attr string, qty long, sign long"
 
 
 def _recover(path: str) -> None:
-    """Finish or discard an interrupted compaction (see module doc)."""
+    """Finish or discard an interrupted compaction (see module doc).
+
+    Rename-only protocol means the store is never partially deleted:
+    if ``path`` exists it is complete (either the original — tmp is
+    then an uncommitted fold — or the compacted copy — old is then
+    awaiting cleanup); if ``path`` is missing the crash hit between
+    the two renames and whichever of tmp/old exists is complete."""
     tmp = path + ".compact_tmp"
+    old = path + ".compact_old"
+    if os.path.isdir(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return
     if os.path.isdir(tmp):
-        if os.path.isdir(path):
-            shutil.rmtree(tmp)
-        else:
-            os.rename(tmp, path)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        os.rename(old, path)
 
 
 def read_signed_store(
@@ -115,12 +131,14 @@ def compact_signed_store(
     )
     n_after = folded.count()
     tmp = path + ".compact_tmp"
+    old = path + ".compact_old"
     shutil.rmtree(tmp, ignore_errors=True)
     folded.write.mode("overwrite").parquet(
         os.path.join(tmp, f"{part_col}=-1")
     )
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_before, n_after
 
 

@@ -116,10 +116,41 @@ def join_view_stream_retract(
         q.stop()
 
 
-def read_view_net(spark, view_dir: str) -> DataFrame:
+def committed_batch_ids(l_dir: str, r_dir: str) -> set[int]:
+    """Batch ids whose base admits BOTH landed. The handler writes
+    view → L admit → R admit, so a batch id present in both base
+    stores is fully committed; one present in the view but missing
+    from either base is the crash window (it will be overwritten on
+    replay and must not be read meanwhile)."""
+
+    def ids(d: str) -> set[int]:
+        out: set[int] = set()
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("admit_batch="):
+                    out.add(int(name.split("=", 1)[1]))
+        return out
+
+    return ids(l_dir) & ids(r_dir)
+
+
+def read_view_net(
+    spark,
+    view_dir: str,
+    l_dir: str | None = None,
+    r_dir: str | None = None,
+) -> DataFrame:
     """The materialized join: net-fold the signed view partitions
     (the view dir partitions by ``batch=<id>``, not ``admit_batch``,
-    so it is read directly rather than through _read_store)."""
+    so it is read directly rather than through _read_store).
+
+    Pass ``l_dir``/``r_dir`` to make the read crash-safe mid-stream:
+    view partitions whose base admits have not BOTH committed are
+    excluded (ADVICE r8 — a batch killed between the view write and
+    the base-admit writes would otherwise surface a delta whose base
+    state it never published; on replay that partition is rewritten).
+    Without the base dirs the read assumes a clean drain, which the
+    ``join_view_stream_retract`` stop contract guarantees."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     base = spark.createDataFrame([], "k long, attr string, qty long, sign long")
@@ -130,6 +161,12 @@ def read_view_net(spark, view_dir: str) -> DataFrame:
         spark.read.schema(schema)
         .option("basePath", view_dir)
         .parquet(view_dir)
-        .drop("batch")
     )
-    return net_rows(signed)
+    if l_dir is not None and r_dir is not None:
+        committed = committed_batch_ids(l_dir, r_dir)
+        signed = signed.where(
+            F.col("batch").isin([int(b) for b in committed])
+            if committed
+            else F.lit(False)
+        )
+    return net_rows(signed.drop("batch"))

@@ -43,6 +43,54 @@ def test_reconstruction_invariant(spark):
     )
 
 
+def test_custom_text_col_and_null_text(spark):
+    """ADVICE r9: the cut draw must honor text_col (it hard-coded
+    'text') and coalesce NULL text so the reconstruction invariant
+    holds on prefix||middle||suffix == coalesce(body, '')."""
+    docs = _docs(spark, 500).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 0, F.col("text")).alias("body"),
+    )
+    t = FM.fim_transform(docs, text_col="body")
+    assert t.count() == 500
+    joined = t.join(docs, "doc_id")
+    assert (
+        joined.where(
+            F.concat("prefix", "middle", "suffix")
+            != F.coalesce(F.col("body"), F.lit(""))
+        ).count()
+        == 0
+    )
+    # NULL bodies: all three spans are empty strings, lengths are 0 —
+    # never NULL (the invariant the sibling operators keep)
+    nulls = joined.where(F.col("body").isNull())
+    assert nulls.count() > 0
+    assert (
+        nulls.where(
+            "len_prefix != 0 OR len_middle != 0 OR len_suffix != 0"
+            " OR prefix IS NULL OR middle IS NULL OR suffix IS NULL"
+        ).count()
+        == 0
+    )
+    # and the renamed column actually drives the cut: same ids with a
+    # DIFFERENT body length must cut at different points for applied
+    # docs (catches a silent fall-back to a literal 'text' column)
+    docs2 = docs.withColumn("body", F.concat(F.coalesce("body", F.lit("")), F.lit("xyz")))
+    t2 = FM.fim_transform(docs2, text_col="body")
+    diff = (
+        t.where("fim_applied").select("doc_id", "len_prefix")
+        .join(
+            t2.where("fim_applied").select(
+                "doc_id", F.col("len_prefix").alias("lp2")
+            ),
+            "doc_id",
+        )
+        .where("len_prefix != lp2")
+        .count()
+    )
+    assert diff > 0
+
+
 def test_untransformed_docs_keep_whole_text_as_prefix(spark):
     t = FM.fim_transform(_docs(spark)).where(~F.col("fim_applied"))
     assert t.count() > 0

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from go_nonrat_annotation_pipeline_spark.operators.hilbert_nd import (
     layout_by_hilbert,
+    sql_hilbert_nd_ctes,
     with_hilbert_key_nd,
 )
 
@@ -105,3 +106,11 @@ def test_hilbert_nd_input_validation(spark):
         with_hilbert_key_nd(df, ["a"], bits=4)
     with pytest.raises(ValueError, match="overflows"):
         with_hilbert_key_nd(df, ["a", "b"], bits=32)
+    # ADVICE r8: bits=1 used to die with an opaque IndexError deep in
+    # the fold; it must be a ValueError at the API edge (both engines)
+    with pytest.raises(ValueError, match="bits"):
+        with_hilbert_key_nd(df, ["a", "b"], bits=1)
+    with pytest.raises(ValueError, match="bits"):
+        sql_hilbert_nd_ctes("src", 2, bits=1)
+    with pytest.raises(ValueError, match="at least 2"):
+        sql_hilbert_nd_ctes("src", 1, bits=4)

@@ -111,6 +111,38 @@ def test_duplicate_values_multiset(spark):
     assert rescans == set()  # one 5 remains buffered -> min still 5
 
 
+def test_exhaustion_is_sticky_across_batches(spark):
+    """ADVICE r9: a second batch inserting into an EXHAUSTED group
+    (buf drained, unbuffered rows remain) must NOT re-seed the buffer
+    — min_view would otherwise report the insert as the min while
+    smaller unbuffered base values (25, 30 here) remain."""
+    base = [(1, v) for v in [5, 10, 15, 20, 25, 30]]
+    bdf = spark.createDataFrame(base, SCHEMA)
+    st = minbuf_state(bdf, "g", "v", K)
+    empty = spark.createDataFrame([], SCHEMA)
+    # batch 1 exhausts the k=4 buffer; 25 and 30 remain unbuffered
+    d1 = spark.createDataFrame([(1, 5), (1, 10), (1, 15), (1, 20)], SCHEMA)
+    st = minbuf_maintain(st, empty, d1, "g", "v", K).localCheckpoint()
+    assert min_view(st, "g").collect()[0].needs_rescan
+    # batch 2 inserts 99 (> true min 25): the flag must stay up and the
+    # insert must not become the reported min
+    i2 = spark.createDataFrame([(1, 99)], SCHEMA)
+    st = minbuf_maintain(st, i2, empty, "g", "v", K).localCheckpoint()
+    row = min_view(st, "g").collect()[0]
+    assert (row.n, row.min_val, row.needs_rescan) == (3, None, True)
+    # deletes into the exhausted group also stay unbuffered / flagged
+    d3 = spark.createDataFrame([(1, 30)], SCHEMA)
+    st = minbuf_maintain(st, empty, d3, "g", "v", K).localCheckpoint()
+    row = min_view(st, "g").collect()[0]
+    assert (row.n, row.needs_rescan) == (2, True)
+    # the documented repair: rescan the flagged group against the base,
+    # then maintenance is exact again
+    remaining = spark.createDataFrame([(1, 25), (1, 99)], SCHEMA)
+    st = minbuf_state(remaining, "g", "v", K)
+    row = min_view(st, "g").collect()[0]
+    assert (row.n, row.min_val, row.needs_rescan) == (2, 25, False)
+
+
 def test_second_batch_composes(spark):
     base = [(1, v) for v in [5, 10, 15, 20, 25, 30]]
     bdf = spark.createDataFrame(base, SCHEMA)

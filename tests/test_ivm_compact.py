@@ -161,3 +161,45 @@ def test_interrupted_swap_recovers(spark, tmp_path):
     assert os.path.isdir(v_dir) and not os.path.isdir(tmp_v)
     after = sorted(tuple(r) for r in read_view_net(spark, v_dir).collect())
     assert after == before
+
+
+def test_rename_only_swap_recovers_every_crash_point(spark, tmp_path):
+    """ADVICE r9: the swap must never leave a truncated store. Simulate
+    each crash point of write tmp → rename store→old → rename tmp→store
+    → delete old, and assert the view reads identically after recovery."""
+    batches = _churn_batches(3)
+    l_dir, r_dir, v_dir, _, _ = _run(spark, tmp_path, batches)
+    before = sorted(tuple(r) for r in read_view_net(spark, v_dir).collect())
+    tmp, old = v_dir + ".compact_tmp", v_dir + ".compact_old"
+
+    # crash point 1: tmp written (complete fold), store intact — the
+    # uncommitted fold is discarded; original store wins
+    compact_signed_store(spark, v_dir, "k long, attr string, qty long, sign long", "batch")
+    compacted = sorted(tuple(r) for r in read_view_net(spark, v_dir).collect())
+    assert compacted == before
+    shutil.copytree(v_dir, tmp)  # stand-in for a completed fold
+    _recover(v_dir)
+    assert not os.path.isdir(tmp) and not os.path.isdir(old)
+    assert sorted(tuple(r) for r in read_view_net(spark, v_dir).collect()) == before
+
+    # crash point 2: rename 1 done (store → old), rename 2 not — the
+    # complete tmp becomes the store, old is swept
+    shutil.copytree(v_dir, tmp)
+    os.rename(v_dir, old)
+    _recover(v_dir)
+    assert os.path.isdir(v_dir) and not os.path.isdir(tmp) and not os.path.isdir(old)
+    assert sorted(tuple(r) for r in read_view_net(spark, v_dir).collect()) == before
+
+    # crash point 3: both renames done, old not yet deleted — the swap
+    # committed; recovery only finishes the cleanup
+    shutil.copytree(v_dir, old)
+    _recover(v_dir)
+    assert os.path.isdir(v_dir) and not os.path.isdir(old)
+    assert sorted(tuple(r) for r in read_view_net(spark, v_dir).collect()) == before
+
+    # defensive: store and tmp both missing, old present (cannot arise
+    # under the protocol) — restore the original rather than lose it
+    os.rename(v_dir, old)
+    _recover(v_dir)
+    assert os.path.isdir(v_dir) and not os.path.isdir(old)
+    assert sorted(tuple(r) for r in read_view_net(spark, v_dir).collect()) == before

@@ -167,6 +167,63 @@ def test_retract_midbatch_crash_replay_is_idempotent(spark, tmp_path):
     assert got == _net_join(spark, [B0, B1, B2])
 
 
+def test_crash_window_read_excludes_uncommitted_view_partition(
+    spark, tmp_path
+):
+    """ADVICE r8: a batch killed between its view write and its base
+    admits leaves a view partition whose base state never published.
+    The committed-admit-filtered read must exclude it (and include it
+    again once the replay commits)."""
+    from pyspark.sql import functions as F
+
+    l_dir, r_dir, v_dir, _ = _dirs(tmp_path)
+    empty_l, empty_r = _empties(spark)
+    for path, df in ((l_dir, empty_l), (r_dir, empty_r)):
+        df.withColumn("sign", F.lit(1).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "admit_batch=-1"))
+    handler = make_ivm_retract_handler(spark, l_dir, r_dir, v_dir)
+    handler(spark.createDataFrame(B0, SCHEMA), 0)
+    committed = sorted(
+        tuple(r) for r in read_view_net(spark, v_dir, l_dir, r_dir).collect()
+    )
+    assert committed == _net_join(spark, [B0])
+
+    # crash window: write ONLY the view partition for batch 1
+    from go_nonrat_annotation_pipeline_spark.operators.incrjoin_retract import (
+        delta_join_retract,
+        with_sign,
+    )
+    from go_nonrat_annotation_pipeline_spark.streaming.ivm_store import (
+        _read_store,
+    )
+
+    signed = with_sign(spark.createDataFrame(B1, SCHEMA), "op")
+    dv = delta_join_retract(
+        _read_store(spark, l_dir, "k long, attr string, sign long", 1),
+        signed.where("side = 'L'").select("k", "attr", "sign"),
+        _read_store(spark, r_dir, "k long, qty long, sign long", 1),
+        signed.where("side = 'R'").select("k", "qty", "sign"),
+        "k",
+    )
+    dv.write.mode("overwrite").parquet(os.path.join(v_dir, "batch=1"))
+
+    filtered = sorted(
+        tuple(r) for r in read_view_net(spark, v_dir, l_dir, r_dir).collect()
+    )
+    unfiltered = sorted(
+        tuple(r) for r in read_view_net(spark, v_dir).collect()
+    )
+    assert filtered == committed  # the in-flight delta is invisible
+    assert unfiltered != committed  # …and the naive read would see it
+
+    handler(spark.createDataFrame(B1, SCHEMA), 1)  # replay commits it
+    got = sorted(
+        tuple(r) for r in read_view_net(spark, v_dir, l_dir, r_dir).collect()
+    )
+    assert got == _net_join(spark, [B0, B1])
+
+
 def test_delete_before_insert_nets_to_zero(spark, tmp_path):
     l_dir, r_dir, v_dir, ckpt = _dirs(tmp_path)
     empty_l, empty_r = _empties(spark)
