@@ -107,6 +107,18 @@ EXTENDED = [
 ]
 
 
+def _loadavg() -> float | None:
+    """1-minute load average — stamped on the record so a bench taken
+    on a busy box is self-documenting (VERDICT r9: a loaded-box run
+    recorded 2x the idle number for q_simjoin_pairs and a reader of
+    the JSON alone couldn't tell)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -128,6 +140,8 @@ def main():
     # idle re-measurement landed back on the r1 number with an unchanged
     # plan fingerprint; one extra rep halves the odds a load spike
     # poisons both samples of a short map-side query.)
+    load_start = _loadavg()
+
     def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
         timings: dict[str, float] = {}
         plans: dict[str, str] = {}
@@ -223,6 +237,7 @@ def main():
         "sf": sf,
         "plan_fingerprints": plans,
         "fingerprint_diff": fingerprint_diff,
+        "loadavg": {"start": load_start, "end": _loadavg()},
         "notes": {
             "sim_ivf_ann": "r3: assignment became map-side argmax "
             "(x3->x2, no N*k shuffle); at this toy SF (500 vecs) the "
@@ -248,6 +263,7 @@ def main():
         "extended_total": round(sum(ext_timings.values()), 3),
         "extended_n": len(ext_timings),
         "fingerprint_diff_n": len(fingerprint_diff),
+        "load": [load_start, _loadavg()],
         "full": "bench_last.json",
     }
     print(json.dumps(compact))

@@ -243,6 +243,77 @@ WINDOW_R9 = [
     "j11_nullsafe_key_match",
 ]
 
+# WINDOW_R10 below is the round-9-declared rotation, verbatim (see the
+# header ledger): the 37 remaining r5-attested rows in registry/module
+# order, then the first 13 round-9 trailing additions (never-attested
+# first, as always). The trailing 7 round-9 additions
+# (q_priority_sample … q_tokenizer_fertility) plus round-10's own
+# additions lead WINDOW_R11, filled out with the then-stalest (r6) rows.
+#
+# Round-10 freeze note: ADVICE r9 prescribed two fixes to modules that
+# back WINDOW_R10 rows — operators/fim.py (text_col honored in the cut
+# draw + NULL-text coalesce; q_fim_spans / q_fim_report) and, for
+# round-11 rows, operators/incragg_minmax.py (sticky exhaustion).
+# Both landed at the START of round 10, BEFORE any attestation runs,
+# and both are value-neutral for every registered query (non-null
+# default-column inputs; re-verified against the DuckDB oracles at
+# sf0.01 on landing). The modules are frozen from that commit to the
+# driver snapshot.
+WINDOW_R10 = [
+    # -- the 37 remaining r5-attested rows (registry/module order) --
+    "j12_active_semi_join",
+    "a1_source_line_counts",
+    "a6_before_after_counts",
+    "q5_multiway_join_agg",
+    "w3_session_window_native",
+    "stream_stateful_sessions",
+    "stream_session_window",
+    "sim_pq_adc",
+    "sim_pq_rerank",
+    "sim_ivf_pq",
+    "sim_pq_adc_kernel",
+    "q_snapshot_diff_counts",
+    "q_snapshot_diff_rows",
+    "q_hist_quantile_state",
+    "q_hist_merge_law",
+    "q_hll_merge_law",
+    "dedup_incremental",
+    "stream_incremental_dedup",
+    "q_cluster_canonical",
+    "q_langid_trained",
+    "q_expectations_report",
+    "q_k_anonymity",
+    "q_hist_by_source",
+    "stream_cms_counters",
+    "q_pps_sample",
+    "stream_static_enrich",
+    "q_value_outliers",
+    "q_funnel_ordered",
+    "q_orc_roundtrip",
+    "q_hll_by_group",
+    "q_kmv_merge_law",
+    "q_cms_merge_law",
+    "q_semdedup_drops",
+    "q_semdedup_report",
+    "q_pii_redact",
+    "corpus_curation_e2e",
+    "corpus_refresh_e2e",
+    # -- the first 13 round-9 trailing additions (registration order) --
+    "corpus_layout3_e2e",
+    "q_decontam_verdicts",
+    "q_decontam_report",
+    "corpus_decontam_e2e",
+    "q_leakage_safe_split",
+    "q_split_leakage_audit",
+    "q_fim_spans",
+    "q_fim_report",
+    "q_epoch_shuffle_layout",
+    "q_epoch_shuffle_decorrelation",
+    "q_pmi_collocations",
+    "stream_decontam_gate",
+    "corpus_trainsplit_e2e",
+]
+
 # A rotation edit that drops or duplicates a name would silently shift
 # which queries fall inside the attested first-50 window — assert shape
 # at import time, not just membership (ADVICE.md r5).
@@ -250,14 +321,18 @@ assert len(WINDOW_R9) == 50 == len(set(WINDOW_R9)), (
     f"WINDOW_R9 must be exactly 50 unique names, got "
     f"{len(WINDOW_R9)} / {len(set(WINDOW_R9))} unique"
 )
+assert len(WINDOW_R10) == 50 == len(set(WINDOW_R10)), (
+    f"WINDOW_R10 must be exactly 50 unique names, got "
+    f"{len(WINDOW_R10)} / {len(set(WINDOW_R10))} unique"
+)
 
 
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry. Shared SQL fragments
     # live in shared_sql.py (never registers), so no module import drags
-    # another registering module in early. Output order: WINDOW_R9
+    # another registering module in early. Output order: WINDOW_R10
     # first, then every other registered query in module/definition
-    # order (the driver attests the first 50 = exactly WINDOW_R9).
+    # order (the driver attests the first 50 = exactly WINDOW_R10).
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,
@@ -379,9 +454,9 @@ def all_queries() -> dict[str, Q]:
         queries_fertility,
     )
 
-    missing = [n for n in WINDOW_R9 if n not in _REGISTRY]
+    missing = [n for n in WINDOW_R10 if n not in _REGISTRY]
     if missing:  # a rotation typo must fail loudly, not shrink the window
-        raise KeyError(f"WINDOW_R9 names not in registry: {missing}")
-    ordered = {n: _REGISTRY[n] for n in WINDOW_R9}
+        raise KeyError(f"WINDOW_R10 names not in registry: {missing}")
+    ordered = {n: _REGISTRY[n] for n in WINDOW_R10}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered

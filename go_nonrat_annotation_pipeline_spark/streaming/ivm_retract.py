@@ -116,12 +116,16 @@ def join_view_stream_retract(
         q.stop()
 
 
-def committed_batch_ids(l_dir: str, r_dir: str) -> set[int]:
-    """Batch ids whose base admits BOTH landed. The handler writes
-    view → L admit → R admit, so a batch id present in both base
-    stores is fully committed; one present in the view but missing
-    from either base is the crash window (it will be overwritten on
-    replay and must not be read meanwhile)."""
+def committed_batch_frontier(l_dir: str, r_dir: str) -> int | None:
+    """The newest batch id whose base admits BOTH landed (None when
+    neither store has any partition). The handler writes view → L admit
+    → R admit, and micro-batches are strictly sequential (batch N only
+    starts after N-1 checkpoint-committed), so every view partition at
+    or below this frontier is committed and only partitions ABOVE it
+    can sit in the crash window between a view write and its base
+    admits. A max (not a set intersection) is deliberate: compaction
+    folds historical admit partitions into the ``=-1`` seed, erasing
+    their individual ids while their view partitions remain valid."""
 
     def ids(d: str) -> set[int]:
         out: set[int] = set()
@@ -131,7 +135,8 @@ def committed_batch_ids(l_dir: str, r_dir: str) -> set[int]:
                     out.add(int(name.split("=", 1)[1]))
         return out
 
-    return ids(l_dir) & ids(r_dir)
+    both = ids(l_dir) & ids(r_dir)
+    return max(both) if both else None
 
 
 def read_view_net(
@@ -145,10 +150,10 @@ def read_view_net(
     so it is read directly rather than through _read_store).
 
     Pass ``l_dir``/``r_dir`` to make the read crash-safe mid-stream:
-    view partitions whose base admits have not BOTH committed are
-    excluded (ADVICE r8 — a batch killed between the view write and
-    the base-admit writes would otherwise surface a delta whose base
-    state it never published; on replay that partition is rewritten).
+    view partitions above the committed-admit frontier are excluded
+    (ADVICE r8 — a batch killed between the view write and the
+    base-admit writes would otherwise surface a delta whose base state
+    it never published; on replay that partition is rewritten).
     Without the base dirs the read assumes a clean drain, which the
     ``join_view_stream_retract`` stop contract guarantees."""
     from pyspark.sql.types import LongType, StructField, StructType
@@ -163,10 +168,10 @@ def read_view_net(
         .parquet(view_dir)
     )
     if l_dir is not None and r_dir is not None:
-        committed = committed_batch_ids(l_dir, r_dir)
+        frontier = committed_batch_frontier(l_dir, r_dir)
         signed = signed.where(
-            F.col("batch").isin([int(b) for b in committed])
-            if committed
+            F.col("batch") <= F.lit(int(frontier))
+            if frontier is not None
             else F.lit(False)
         )
     return net_rows(signed.drop("batch"))

@@ -137,6 +137,14 @@ def main():
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
 
+    # self-documenting sweep header: box load at start, so a later
+    # bench-vs-sweep wall-clock skew is attributable (VERDICT r9 #8)
+    try:
+        with open("/proc/loadavg") as fh:
+            print(f"# loadavg at sweep start: {fh.read().split()[0]}")
+    except OSError:
+        pass
+
     import duckdb
     import __spark_entry__ as entrymod
     from go_nonrat_annotation_pipeline_spark.session import get_spark

@@ -301,10 +301,94 @@ def ivm_churn_probe(rounds: int = 10, keys: int = 20000):
     _sh.rmtree(root, ignore_errors=True)
 
 
+def ivm_policy_probe(
+    rounds: int = 20, keys: int = 20000, check_every: int = 4
+):
+    """Policy-TRIGGERED compaction under the same full-turnover churn
+    as ivm_churn_probe (VERDICT r9 #4): the handler folds between
+    micro-batches whenever tombstone_fraction > 0.5, so store size and
+    per-batch cost stay flat at any churn depth — no offline epoch
+    needed. Reports fold events and the per-batch wall trend."""
+    import shutil as _sh
+    import tempfile
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.streaming.ivm_compact import (
+        read_signed_store,
+    )
+    from go_nonrat_annotation_pipeline_spark.streaming.ivm_policy import (
+        make_policy_compacting_handler,
+    )
+
+    root = tempfile.mkdtemp(prefix="ivm_policy_")
+    l_dir, r_dir, v_dir = (os.path.join(root, d) for d in ("l", "r", "v"))
+    for path, ddl in (
+        (l_dir, "k long, attr string"),
+        (r_dir, "k long, qty long"),
+    ):
+        spark.createDataFrame([], ddl).withColumn(
+            "sign", F.lit(1).cast("long")
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, "admit_batch=-1")
+        )
+    audit: list = []
+    handler = make_policy_compacting_handler(
+        spark, l_dir, r_dir, v_dir,
+        threshold=0.5, check_every=check_every, audit=audit,
+    )
+
+    def batch(r: int):
+        ins = spark.range(keys).selectExpr(
+            "'L' AS side", "'I' AS op", "id AS k",
+            f"concat('a{r}_', id) AS attr", "CAST(NULL AS LONG) AS qty",
+        )
+        if r == 0:
+            rrows = spark.range(keys).selectExpr(
+                "'R' AS side", "'I' AS op", "id AS k",
+                "CAST(NULL AS STRING) AS attr", "id * 10 AS qty",
+            )
+            return ins.unionByName(rrows)
+        dels = spark.range(keys).selectExpr(
+            "'L' AS side", "'D' AS op", "id AS k",
+            f"concat('a{r - 1}_', id) AS attr", "CAST(NULL AS LONG) AS qty",
+        )
+        return ins.unionByName(dels)
+
+    walls = []
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        handler(batch(r), r)
+        walls.append(time.perf_counter() - t0)
+    half = rounds // 2
+    print(
+        f"policy churn: {rounds} rounds x {keys:,} keys, "
+        f"threshold=0.5 check_every={check_every}; "
+        f"avg batch wall first half {sum(walls[:half]) / half:.2f}s, "
+        f"second half {sum(walls[half:]) / (rounds - half):.2f}s"
+    )
+    for b_id, tag, b, a in audit:
+        print(f"  fold @batch {b_id} [{tag}]: {b:,} -> {a:,} rows")
+    l_rows = read_signed_store(
+        spark, l_dir, "k long, attr string, sign long", "admit_batch"
+    ).count()
+    print(
+        f"L store at depth {rounds}: {l_rows:,} rows "
+        f"(live set {keys:,}; bounded by live + {check_every} batches)"
+    )
+    _sh.rmtree(root, ignore_errors=True)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "ivm":
         ivm_churn_probe(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivm-policy":
+        ivm_policy_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 20,
             int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
         )
         return
