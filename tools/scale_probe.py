@@ -401,6 +401,9 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "tail7":
         tail7_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "tail10":
+        tail10_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "tail9":
         tail9_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
         return
@@ -1301,6 +1304,103 @@ def tail9_probe(mult: int = 20):
         ).count(),
         n_li,
     )
+
+
+def tail10_probe(mult: int = 20):
+    """Streaming-twin rows for the round-9 governance gates (VERDICT
+    r9 #5): the per-MICRO-BATCH handler cost of stream_decontam_gate
+    and stream_priority_sample, with the corpus side inflated and the
+    other side of each gate FIXED — the benchmark gram broadcast for
+    decontam, the (k+1)-row running-top state for priority. The claim:
+    micro-batch wall tracks batch size only; the broadcast/state side
+    is constant, so at 100 TB ingest the gate cost per trigger is flat
+    in corpus history."""
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.operators import (
+        decontam as DC,
+        sampling_priority as PR,
+    )
+
+    base = load_table(spark, SF_DIR, "documents")
+    bench = base.where("doc_id % 29 = 0")
+    bg = (
+        DC.benchmark_grams(bench, n=8)
+        .withColumn("_m", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    corpus = inflate(base.where("doc_id % 29 != 0"), "doc_id", mult)
+    n_batches = 4
+    batches = [
+        corpus.where(f"doc_id % {n_batches} = {i}").localCheckpoint()
+        for i in range(n_batches)
+    ]
+    sizes = [b.count() for b in batches]
+    print(
+        f"stream twins: {sum(sizes):,} docs in {n_batches} micro-batches "
+        f"(~{sizes[0]:,} each); bench grams fixed {bg.count():,} (x{mult})"
+    )
+
+    def _gate(batch_df):
+        occ = DC._doc_grams(batch_df, "doc_id", "text", 8)
+        return (
+            occ.join(F.broadcast(bg), "shash", "left")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.coalesce(F.sum("_m"), F.lit(0)).cast("long").alias("n_hits"),
+            )
+            .where(F.col("n_hits") >= 1)
+            .count()
+        )
+
+    for i, b in enumerate(batches):
+        timed(f"stream_decontam_gate batch {i}", lambda b=b: _gate(b), sizes[i])
+
+    li = inflate(
+        load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("long").alias("l_quantity"),
+        ),
+        "l_orderkey",
+        mult,
+    )
+    k = 200
+    li_batches = [
+        li.where(f"l_orderkey % {n_batches} = {i}").localCheckpoint()
+        for i in range(n_batches)
+    ]
+    li_sizes = [b.count() for b in li_batches]
+    state = spark.createDataFrame(
+        [], "l_orderkey long, l_linenumber long, w long, priority long"
+    ).localCheckpoint()
+    print(f"priority stream: {sum(li_sizes):,} li rows, state fixed at "
+          f"{k + 1} rows")
+    for i, b in enumerate(li_batches):
+        def _fold(b=b, st=state):
+            pri = PR.with_priority(
+                b, F.col("l_quantity"),
+                F.concat_ws(
+                    "_", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                "prio0",
+            ).select("l_orderkey", "l_linenumber", "w", "priority")
+            return (
+                st.unionByName(pri)
+                .orderBy(F.desc("priority"), "l_orderkey", "l_linenumber")
+                .limit(k + 1)
+                .localCheckpoint()
+            )
+
+        t0 = time.perf_counter()
+        state = _fold()
+        dt = time.perf_counter() - t0
+        print(
+            f"stream_priority_sample batch {i}: {dt:.2f}s "
+            f"({li_sizes[i] / dt / 1e6:.1f}M rows/s), state rows: "
+            f"{state.count()}"
+        )
 
 
 def tail7_probe(mult: int = 20):
