@@ -43,32 +43,35 @@ def sql_spans_ctes(
     seq_len: int = DEFAULT_SEQ_LEN,
     n_shards: int = DEFAULT_SHARDS,
     salt: str = "epoch0",
+    names: tuple[str, str, str] = ("pk_base", "spans", "spans2"),
 ) -> str:
     """DuckDB mirror of :func:`pack_doc_spans` as CTEs defining
-    ``spans2`` (doc_id, shard, off, tok, first_seq, last_seq) — avoid
-    the names pk_base/spans/spans2 around it. ``table`` needs
-    (doc_id, text)."""
+    ``names[2]`` (doc_id, shard, off, tok, first_seq, last_seq) —
+    avoid the three ``names`` around it (defaults pk_base/spans/spans2;
+    pass distinct names to chain two epochs in one query). ``table``
+    needs (doc_id, text)."""
+    base_n, spans_n, spans2_n = names
     h = sql_hash60(f"'{salt}|' || CAST(doc_id AS VARCHAR)")
     return f"""
-    pk_base AS (
+    {base_n} AS (
       SELECT doc_id,
              {h} AS h,
              {h} % {n_shards} AS shard,
              CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
                   AS BIGINT) AS tok
       FROM {table}
-    ), spans AS (
+    ), {spans_n} AS (
       SELECT doc_id, CAST(shard AS BIGINT) AS shard,
              CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY h, doc_id
                                  ROWS UNBOUNDED PRECEDING) - tok
                   AS BIGINT) AS off,
              tok
-      FROM pk_base WHERE tok > 0
-    ), spans2 AS (
+      FROM {base_n} WHERE tok > 0
+    ), {spans2_n} AS (
       SELECT doc_id, shard, off, tok,
              off // {seq_len} AS first_seq,
              (off + tok - 1) // {seq_len} AS last_seq
-      FROM spans
+      FROM {spans_n}
     )
 """
 

@@ -123,6 +123,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_incremental_min_rescan_audit, q_golden_record,
 #   stream_priority_sample, q_tokenizer_fertility
 #
+# Round-10 ledger — trailing additions in registration order (these
+# plus the 7 trailing round-9 additions lead WINDOW_R11, which fills
+# out with the then-stalest r6-attested rows):
+#   corpus_epoch_e2e
+#
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
 # may snapshot at any time — (a) `bits >= 2` validation in
@@ -452,6 +457,9 @@ def all_queries() -> dict[str, Q]:
         queries_survivorship,
         queries_streaming_priority,
         queries_fertility,
+        # round-10 additions (after WINDOW_R10; lead the round-11
+        # rotation together with the 7 trailing round-9 additions)
+        queries_epoch_e2e,
     )
 
     missing = [n for n in WINDOW_R10 if n not in _REGISTRY]
