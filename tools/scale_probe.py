@@ -401,6 +401,12 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "tail7":
         tail7_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "fertility":
+        fertility_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 512,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 64,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "tail10":
         tail10_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
         return
@@ -1400,6 +1406,139 @@ def tail10_probe(mult: int = 20):
             f"stream_priority_sample batch {i}: {dt:.2f}s "
             f"({li_sizes[i] / dt / 1e6:.1f}M rows/s), state rows: "
             f"{state.count()}"
+        )
+
+
+def fertility_probe(target_merges: int = 512, top_m: int = 64):
+    """Fertility at a REALISTIC merge budget (VERDICT r9 #7): train the
+    batched BPE to ``target_merges`` merges (rank-disjoint batches of
+    up to ``top_m`` per round — the large-vocab engineering shape),
+    then feed the trained symbol table into the per-source fertility
+    join. The 100 TB claim this backs: after the one word-frequency
+    aggregate, training and fertility are DICTIONARY-sized — per-round
+    cost tracks the vocabulary, and tokenizing never re-touches the
+    corpus."""
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.operators import bpe as B
+
+    docs = load_table(spark, SF_DIR, "documents")
+    t0 = time.perf_counter()
+    wf = B.word_freqs(docs).localCheckpoint()
+    n_words = wf.count()
+    wf_t = time.perf_counter() - t0
+    print(f"word_freqs: {n_words:,} distinct words ({wf_t:.2f}s) — the "
+          f"ONLY corpus-sized stage")
+    if n_words < 1000:
+        # the synthetic sf tables carry a toy vocabulary that saturates
+        # after ~100 merges; the realistic-budget claim needs a
+        # dictionary-scale trainer input, so synthesize a 50k-word
+        # Zipf-weighted frequency table (deterministic md5 words, 3-18
+        # chars) — this IS the trainer's real input shape: training
+        # only ever sees (word, cnt), never the corpus
+        v = 50_000
+        wf = (
+            spark.range(v)
+            .selectExpr(
+                "substring(repeat(md5(CAST(id AS STRING)), 2), 1, "
+                "3 + CAST(id % 16 AS INT)) AS word",
+                f"CAST({v} / (id + 1) + 1 AS BIGINT) AS cnt",
+            )
+            .groupBy("word")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+        print(
+            f"toy corpus vocab — switching to a synthetic Zipf table: "
+            f"{wf.count():,} distinct words (trainer input shape is "
+            f"(word, cnt) regardless of corpus size)"
+        )
+
+    sym = B.init_symbols(wf).localCheckpoint()
+    merges, rounds = 0, 0
+    t0 = time.perf_counter()
+    # rank-disjoint batches are small while the symbol alphabet is
+    # small (hex seeds: top pairs share symbols) and grow as merges
+    # diversify the alphabet — cap rounds generously, not per-batch
+    while merges < target_merges and rounds < 200:
+        ranked = [
+            (row.l, row.r, int(row.pair_cnt))
+            for row in B.pair_counts(sym)
+            .orderBy(F.desc("pair_cnt"), F.asc("l"), F.asc("r"))
+            .limit(top_m)
+            .collect()
+        ]
+        sel = B.select_rank_disjoint(ranked)
+        if not sel:
+            break
+        sym = B.merge_pairs(
+            sym, [(l, r) for l, r, _ in sel]
+        ).localCheckpoint()
+        merges += len(sel)
+        rounds += 1
+    train_t = time.perf_counter() - t0
+    print(
+        f"batched train: {merges} merges in {rounds} rounds "
+        f"({train_t:.2f}s, {train_t / max(rounds, 1):.2f}s/round, "
+        f"{1000 * train_t / max(merges, 1):.0f}ms/merge) — "
+        f"dictionary-sized rewrites, corpus untouched"
+    )
+
+    tok = sym.select("word", F.size("syms").alias("n_tok"))
+    t0 = time.perf_counter()
+    if n_words >= 1000:
+        fert = (
+            docs.select(
+                "source", F.explode(F.split("text", " ")).alias("word")
+            )
+            .where("word <> ''")
+            .groupBy("source", "word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .join(tok, "word")
+            .groupBy("source")
+            .agg(
+                F.expr(
+                    "CAST(SUM(cnt * LENGTH(word)) * 1000000 DIV "
+                    "SUM(cnt * n_tok) AS BIGINT)"
+                ).alias("chars_per_token_ppm")
+            )
+            .collect()
+        )
+        fert_t = time.perf_counter() - t0
+        print(f"fertility join over trained table: {fert_t:.2f}s")
+        for r in sorted(fert):
+            print(
+                f"  {r.source}: "
+                f"{r.chars_per_token_ppm / 1e6:.3f} chars/token"
+            )
+    else:
+        # synthetic mode: the per-source slice is a hash bucket of the
+        # vocab; the join cost at dictionary scale is the claim
+        fert = (
+            wf.withColumn(
+                "source", F.pmod(F.crc32("word"), F.lit(20)).cast("long")
+            )
+            .join(tok, "word")
+            .groupBy("source")
+            .agg(
+                F.expr(
+                    "CAST(SUM(cnt * LENGTH(word)) * 1000000 DIV "
+                    "SUM(cnt * n_tok) AS BIGINT)"
+                ).alias("chars_per_token_ppm")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_slices"),
+                F.min("chars_per_token_ppm").alias("min_ppm"),
+                F.max("chars_per_token_ppm").alias("max_ppm"),
+            )
+            .collect()[0]
+        )
+        fert_t = time.perf_counter() - t0
+        print(
+            f"fertility join over trained table: {fert_t:.2f}s "
+            f"({fert.n_slices} slices, "
+            f"{fert.min_ppm / 1e6:.3f}-{fert.max_ppm / 1e6:.3f} "
+            f"chars/token)"
         )
 
 
