@@ -40,10 +40,18 @@ def q_simjoin_pairs(spark, sf_dir):
 
 @register(
     "q_simjoin_prune_stats",
-    "    WITH " + _CTES + """
+    # ppq_cands lives HERE, not in the shared builder: the hot-path
+    # simjoin no longer materializes the pre-length-filter candidate
+    # set (the r8 fusion), so only this audit defines it (ADVICE r9)
+    "    WITH " + _CTES + """,
+    ppq_cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b USING (token)
+      WHERE a.doc_id < b.doc_id
+    )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_token_rows,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM pref) AS n_prefix_rows,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ppq_cands) AS n_candidates,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM admitted) AS n_admitted,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM simpairs) AS n_pairs
     """,

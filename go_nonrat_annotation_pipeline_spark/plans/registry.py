@@ -126,7 +126,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # Round-10 ledger — trailing additions in registration order (these
 # plus the 7 trailing round-9 additions lead WINDOW_R11, which fills
 # out with the then-stalest r6-attested rows):
-#   corpus_epoch_e2e
+#   corpus_epoch_e2e, q_fs_field_weights, q_fs_match_scores,
+#   q_fs_verdict_report
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
@@ -460,6 +461,8 @@ def all_queries() -> dict[str, Q]:
         # round-10 additions (after WINDOW_R10; lead the round-11
         # rotation together with the 7 trailing round-9 additions)
         queries_epoch_e2e,
+        queries_fellegi,
+        queries_semantic_decontam,
     )
 
     missing = [n for n in WINDOW_R10 if n not in _REGISTRY]
