@@ -104,6 +104,12 @@ EXTENDED = [
     "q_pmi_collocations",
     "corpus_trainsplit_e2e",
     "corpus_layout3_e2e",
+    # round 10 additions: pack/epoch composition, Fellegi-Sunter
+    # linkage + its E2E, semantic decontamination
+    "corpus_epoch_e2e",
+    "q_fs_match_scores",
+    "q_probabilistic_linkage_e2e",
+    "q_semantic_decontam",
 ]
 
 
