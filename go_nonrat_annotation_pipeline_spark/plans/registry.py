@@ -129,7 +129,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   corpus_epoch_e2e, q_fs_field_weights, q_fs_match_scores,
 #   q_fs_verdict_report, q_semantic_decontam,
 #   q_semantic_decontam_report, q_probabilistic_linkage_e2e,
-#   stream_semantic_decontam_gate
+#   stream_semantic_decontam_gate, q_bitemporal_history,
+#   q_bitemporal_asof_history, q_bitemporal_correction_audit
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
@@ -467,6 +468,7 @@ def all_queries() -> dict[str, Q]:
         queries_semantic_decontam,
         queries_linkage_e2e,
         queries_streaming_semdecontam,
+        queries_bitemporal,
     )
 
     missing = [n for n in WINDOW_R10 if n not in _REGISTRY]
