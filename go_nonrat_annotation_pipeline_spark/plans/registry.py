@@ -130,7 +130,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_fs_verdict_report, q_semantic_decontam,
 #   q_semantic_decontam_report, q_probabilistic_linkage_e2e,
 #   stream_semantic_decontam_gate, q_bitemporal_history,
-#   q_bitemporal_asof_history, q_bitemporal_correction_audit
+#   q_bitemporal_asof_history, q_bitemporal_correction_audit,
+#   q_epoch_repeat_budget
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
@@ -469,6 +470,7 @@ def all_queries() -> dict[str, Q]:
         queries_linkage_e2e,
         queries_streaming_semdecontam,
         queries_bitemporal,
+        queries_repeat_budget,
     )
 
     missing = [n for n in WINDOW_R10 if n not in _REGISTRY]
