@@ -1408,6 +1408,58 @@ def tail10_probe(mult: int = 20):
             f"{state.count()}"
         )
 
+    # round-10 families: FS linkage (dictionary-bounded pairs — the
+    # corpus-scale stage is the one listing aggregate), bitemporal
+    # history (keyed windows only)
+    from go_nonrat_annotation_pipeline_spark.operators.bitemporal import (
+        bitemporal_history,
+    )
+    from go_nonrat_annotation_pipeline_spark.plans.queries_bitemporal import (
+        _asserts,
+    )
+    from go_nonrat_annotation_pipeline_spark.plans.queries_fellegi import (
+        _scored_pairs,
+    )
+
+    part_rows = inflate(
+        load_table(spark, SF_DIR, "part"), "p_partkey", mult
+    ).count()
+    # FS runs from sf_dir; inflation of part doesn't change the
+    # (name, brand) record domain, so pair count is FIXED — probe the
+    # raw-sf_dir path and report the corpus row count it aggregated
+    timed(
+        f"fs_scored_pairs (listings dict-bounded; {part_rows:,} raw rows)",
+        lambda: _scored_pairs(spark, SF_DIR).count(),
+        part_rows,
+    )
+    ev = inflate(
+        load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        ),
+        "user_id",
+        mult,
+    ).localCheckpoint()
+    n_ev = ev.count()
+    us = F.unix_micros(F.col("ts"))
+    asserts = ev.select(
+        "user_id",
+        F.col("event_type").alias("val"),
+        (
+            (
+                F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 86400000000")
+                - F.col("event_id") % 7
+            )
+            * F.lit(86_400_000_000)
+        ).cast("long").alias("valid_us"),
+        us.cast("long").alias("recorded_us"),
+        F.col("event_id").alias("_tie"),
+    )
+    timed(
+        "bitemporal_history (2 keyed windows)",
+        lambda: bitemporal_history(asserts).count(),
+        n_ev,
+    )
+
 
 def fertility_probe(target_merges: int = 512, top_m: int = 64):
     """Fertility at a REALISTIC merge budget (VERDICT r9 #7): train the
