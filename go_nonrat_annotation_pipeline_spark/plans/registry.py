@@ -131,7 +131,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_semantic_decontam_report, q_probabilistic_linkage_e2e,
 #   stream_semantic_decontam_gate, q_bitemporal_history,
 #   q_bitemporal_asof_history, q_bitemporal_correction_audit,
-#   q_epoch_repeat_budget, q_clustering_depth
+#   q_epoch_repeat_budget, q_clustering_depth,
+#   stream_bitemporal_history
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
@@ -472,6 +473,7 @@ def all_queries() -> dict[str, Q]:
         queries_bitemporal,
         queries_repeat_budget,
         queries_clustering_depth,
+        queries_streaming_bitemporal,
     )
 
     missing = [n for n in WINDOW_R10 if n not in _REGISTRY]
