@@ -188,6 +188,50 @@ def minbuf_maintain(
     )
 
 
+def maxbuf_state(
+    df: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """MAX twin by negation: a k-buffer of the LARGEST values is the
+    MIN machinery over -value (Gupta-Mumick §4 treats MIN/MAX
+    symmetrically). State stores negated values; use :func:`max_view`."""
+    neg = df.select(
+        group_col, (-F.col(value_col).cast("long")).alias("_negv")
+    )
+    return minbuf_state(neg, group_col, "_negv", k)
+
+
+def maxbuf_maintain(
+    state: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int,
+) -> DataFrame:
+    """Maintain the negated state (see :func:`maxbuf_state`); sticky
+    exhaustion and the CDC contract carry over unchanged."""
+
+    def neg(df):
+        return df.select(
+            group_col, (-F.col(value_col).cast("long")).alias("_negv")
+        )
+
+    return minbuf_maintain(
+        state, neg(inserts), neg(deletes), group_col, "_negv", k
+    )
+
+
+def max_view(state: DataFrame, group_col: str) -> DataFrame:
+    """``group_col, n, max_val, needs_rescan`` over a negated state."""
+    v = min_view(state, group_col)
+    return v.select(
+        group_col,
+        "n",
+        (-F.col("min_val")).cast("long").alias("max_val"),
+        "needs_rescan",
+    )
+
+
 def min_view(state: DataFrame, group_col: str) -> DataFrame:
     """``group_col, n, min_val, needs_rescan`` — min_val is NULL
     exactly when the buffer is exhausted (rescan that group against

@@ -132,7 +132,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   stream_semantic_decontam_gate, q_bitemporal_history,
 #   q_bitemporal_asof_history, q_bitemporal_correction_audit,
 #   q_epoch_repeat_budget, q_clustering_depth,
-#   stream_bitemporal_history
+#   stream_bitemporal_history, q_incremental_max_maintain
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
@@ -474,6 +474,7 @@ def all_queries() -> dict[str, Q]:
         queries_repeat_budget,
         queries_clustering_depth,
         queries_streaming_bitemporal,
+        queries_max_ivm,
     )
 
     missing = [n for n in WINDOW_R10 if n not in _REGISTRY]

@@ -143,6 +143,35 @@ def test_exhaustion_is_sticky_across_batches(spark):
     assert (row.n, row.min_val, row.needs_rescan) == (2, 25, False)
 
 
+def test_max_twin_mirrors_min(spark):
+    """MAX by negation: delete-the-maximum exhausts exactly like the
+    MIN twin, and exact groups report the true MAX."""
+    from go_nonrat_annotation_pipeline_spark.operators.incragg_minmax import (
+        max_view,
+        maxbuf_maintain,
+        maxbuf_state,
+    )
+
+    base = [(1, v) for v in [5, 10, 15, 20, 25, 30]]
+    bdf = spark.createDataFrame(base, SCHEMA)
+    st = maxbuf_state(bdf, "g", "v", K)
+    empty = spark.createDataFrame([], SCHEMA)
+    # delete the 3 largest: buffer (k=4) still holds 15 -> exact
+    d1 = spark.createDataFrame([(1, 30), (1, 25), (1, 20)], SCHEMA)
+    row = max_view(
+        maxbuf_maintain(st, empty, d1, "g", "v", K), "g"
+    ).collect()[0]
+    assert (row.n, row.max_val, row.needs_rescan) == (3, 15, False)
+    # delete all 4 buffered largest: 5/10 unbuffered -> rescan flagged
+    d2 = spark.createDataFrame(
+        [(1, 30), (1, 25), (1, 20), (1, 15)], SCHEMA
+    )
+    row = max_view(
+        maxbuf_maintain(st, empty, d2, "g", "v", K), "g"
+    ).collect()[0]
+    assert (row.n, row.max_val, row.needs_rescan) == (2, None, True)
+
+
 def test_second_batch_composes(spark):
     base = [(1, v) for v in [5, 10, 15, 20, 25, 30]]
     bdf = spark.createDataFrame(base, SCHEMA)
