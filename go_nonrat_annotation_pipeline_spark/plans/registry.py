@@ -133,7 +133,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_bitemporal_asof_history, q_bitemporal_correction_audit,
 #   q_epoch_repeat_budget, q_clustering_depth,
 #   stream_bitemporal_history, q_incremental_max_maintain,
-#   q_cube_status_priority, q_grouping_sets_mixed
+#   q_cube_status_priority, q_grouping_sets_mixed,
+#   q_pivot_status_by_segment, q_unpivot_roundtrip
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
@@ -477,6 +478,7 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_bitemporal,
         queries_max_ivm,
         queries_cube,
+        queries_pivot,
     )
 
     missing = [n for n in WINDOW_R10 if n not in _REGISTRY]
