@@ -23,7 +23,7 @@ DEC2 = DecimalType(18, 2)
 
 
 @register(
-    "q_cube_status_priority",
+    "q_cube_grouping_id",
     """
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
@@ -34,12 +34,12 @@ DEC2 = DecimalType(18, 2)
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="CUBE aggregate over (status, priority) — all four grouping "
-    "sets in ONE shuffle (map-side Expand + one hash aggregate), "
-    "grouping_id bitmask distinguishing grouped-away dimensions from "
-    "genuine NULLs",
+    doc="CUBE with the GROUPING_ID bitmask + a decimal-exact measure — "
+    "extends the attested q_cube_status_priority (queries_analytics) "
+    "with the marker that distinguishes grouped-away dimensions from "
+    "genuine NULLs; same one-shuffle Expand plan",
 )
-def q_cube_status_priority(spark, sf_dir):
+def q_cube_grouping_id(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("long").alias("gid"),

@@ -32,6 +32,17 @@ _REGISTRY: dict[str, Q] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn):
+        # A duplicate name would SILENTLY shadow the earlier (possibly
+        # driver-attested) implementation — the round-10 near-miss: a
+        # new CUBE query re-used q_cube_status_priority and replaced
+        # the r7-attested row until the registry count caught it. Fail
+        # loudly at import instead.
+        if name in _REGISTRY:
+            raise ValueError(
+                f"query name {name!r} already registered "
+                f"(by {_REGISTRY[name].spark.__module__}); "
+                f"pick a distinct name"
+            )
         _REGISTRY[name] = Q(spark=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -133,7 +144,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_bitemporal_asof_history, q_bitemporal_correction_audit,
 #   q_epoch_repeat_budget, q_clustering_depth,
 #   stream_bitemporal_history, q_incremental_max_maintain,
-#   q_cube_status_priority, q_grouping_sets_mixed,
+#   q_cube_grouping_id, q_grouping_sets_mixed,
 #   q_pivot_status_by_segment, q_unpivot_roundtrip
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
