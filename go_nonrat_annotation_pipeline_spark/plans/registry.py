@@ -147,6 +147,22 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_cube_grouping_id, q_grouping_sets_mixed,
 #   q_pivot_status_by_segment, q_unpivot_roundtrip
 #
+# Round-11 rotation (DECLARED NOW, bounded-staleness discipline): the
+# 26 never-attested rows above (7 round-9 trailing + 19 round-10, in
+# registration order), then the FIRST 24 of the 50 r6-attested rows in
+# registry order, namely
+#   q_rollup_status_priority, a3_withinfo_consolidate,
+#   a4_duplicate_merge, a5_notes_eq_xref_clear, j04_history_resolution,
+#   j10_descendant_anti_join, a7_upsert_classification,
+#   a8_threshold_guarded_delete, w1_topk_per_group, w2_sessionize,
+#   set_ops_except_union, set_array_algebra, pipeline_e2e_mouse,
+#   pipeline_e2e_upsert, sim_ivf_trained, dedup_clusters,
+#   dedup_embedding_bucketed, dedup_winnowing, text_token_count,
+#   text_quality_score, text_lang_id, text_fingerprint,
+#   text_ngram_topk, stream_interval_join
+# (the remaining 26 r6 rows — stream_dedup_keys through
+# q_bpe_merges_batched in registry order — lead WINDOW_R12).
+#
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
 # may snapshot at any time — (a) `bits >= 2` validation in
