@@ -18,9 +18,11 @@ ppm FIXED-POINT with a DECLARED field order —
 - m_j is a declared clerical prior in ppm (FS practice: m is set or
   EM-estimated; the deterministic prior keeps the oracle exact);
 - the pair score folds LEFT-TO-RIGHT over the declared field order:
-  ``score = score * ratio_j DIV 1_000_000`` — the same integer
-  expression text in Spark and DuckDB, so scores (and therefore
-  verdicts) hash-match exactly. Rank-equivalent to the log-weight sum.
+  ``score = least(CAP, score * least(LR_CAP, ratio_j) DIV 1e6)`` — the
+  same integer expression text in Spark and DuckDB, so scores (and
+  therefore verdicts) hash-match exactly. Rank-equivalent to the
+  log-weight sum with clipped weights; the saturation constants make
+  the fold overflow-free by construction (see SCORE_CAP below).
 
 Scale shape: u-weights are one aggregate per field over the RECORD
 table (dictionary-sized when records are deduplicated keys, as in the
@@ -42,6 +44,19 @@ DEFAULT_SIM_U_PPM = 10_000
 # >PPM means evidence for match, <PPM against)
 DEFAULT_UPPER_PPM = 20 * PPM
 DEFAULT_LOWER_PPM = PPM // 2
+
+# SATURATION (round-10 property-test finding): an unclamped fold
+# overflows BIGINT — four fields agreeing at lr 200 already exceed
+# 2^63 mid-multiply. The fold therefore saturates: the running score
+# clamps at SCORE_CAP and each field's ratio at LR_CAP, chosen so the
+# per-step multiply provably fits (SCORE_CAP · LR_CAP = 9·10^18 <
+# 2^63−1). Semantics are unchanged where it matters: SCORE_CAP is
+# 5000× the default match threshold and LR_CAP is ratio-90 evidence
+# per field — saturation only compresses scores already far beyond
+# any decision boundary (the log-space analogue: clipping the summed
+# weight). Thresholds must sit below SCORE_CAP.
+SCORE_CAP = 10**11
+LR_CAP = 9 * 10**7
 
 
 def u_ppm_equality(records: DataFrame, col: str) -> DataFrame:
@@ -123,12 +138,18 @@ def fs_score(
     (order is part of the contract — integer DIV is not associative),
     then classify. ``pairs`` must already carry the gamma columns and
     the per-field LR columns (cross-join the one-row pivoted weight
-    table in)."""
+    table in). The fold SATURATES at SCORE_CAP / LR_CAP (module doc) —
+    overflow-free by construction."""
+    assert upper_ppm < SCORE_CAP and lower_ppm < SCORE_CAP
     expr = f"CAST({PPM} AS BIGINT)"
     for g, alr, dlr in gamma_lr_pairs:
+        lr = (
+            f"LEAST(CAST({LR_CAP} AS BIGINT), "
+            f"CASE WHEN {g} THEN {alr} ELSE {dlr} END)"
+        )
         expr = (
-            f"(({expr}) * (CASE WHEN {g} THEN {alr} ELSE {dlr} END) "
-            f"DIV {PPM}L)"
+            f"LEAST(CAST({SCORE_CAP} AS BIGINT), "
+            f"(({expr}) * ({lr}) DIV {PPM}L))"
         )
     scored = pairs.withColumn(score_col, F.expr(expr).cast("long"))
     return scored.withColumn(
@@ -145,12 +166,18 @@ def sql_fs_score(
     lower_ppm: int = DEFAULT_LOWER_PPM,
 ) -> tuple[str, str]:
     """DuckDB mirror of :func:`fs_score`'s two expressions
-    (score, verdict) — `//` for DIV, same left-to-right fold."""
+    (score, verdict) — `//` for DIV, same left-to-right saturating
+    fold."""
+    assert upper_ppm < SCORE_CAP and lower_ppm < SCORE_CAP
     expr = f"CAST({PPM} AS BIGINT)"
     for g, alr, dlr in gamma_lr_pairs:
+        lr = (
+            f"LEAST(CAST({LR_CAP} AS BIGINT), "
+            f"CASE WHEN {g} THEN {alr} ELSE {dlr} END)"
+        )
         expr = (
-            f"(({expr}) * (CASE WHEN {g} THEN {alr} ELSE {dlr} END) "
-            f"// {PPM})"
+            f"LEAST(CAST({SCORE_CAP} AS BIGINT), "
+            f"(({expr}) * ({lr}) // {PPM}))"
         )
     score = f"CAST({expr} AS BIGINT)"
     verdict = (
