@@ -105,11 +105,12 @@ EXTENDED = [
     "corpus_trainsplit_e2e",
     "corpus_layout3_e2e",
     # round 10 additions: pack/epoch composition, Fellegi-Sunter
-    # linkage + its E2E, semantic decontamination
+    # linkage + its E2E, semantic decontamination, bitemporal history
     "corpus_epoch_e2e",
     "q_fs_match_scores",
     "q_probabilistic_linkage_e2e",
     "q_semantic_decontam",
+    "q_bitemporal_history",
 ]
 
 

@@ -119,6 +119,14 @@ AUDITED = {
     ("q_percentile_disc", "p90"): "passthrough",
     ("q_lm_perplexity_bucket", "ce"): "rounded",
     ("q_mixture_drift_kl", "kl_contrib"): "rounded",
+    # round 10: semantic decontamination cosines follow the attested
+    # sim_* discipline (sequential double reduce over DOUBLE-cast
+    # arrays on both engines, ROUND(...,6)); the cube measure is the
+    # rollup's decimal-exact sum cast to double at the boundary
+    ("q_semantic_decontam", "cosine"): "rounded",
+    ("q_semantic_decontam_report", "max_cosine"): "rounded",
+    ("stream_semantic_decontam_gate", "cosine"): "rounded",
+    ("q_cube_grouping_id", "total_price"): "decimal-cast",
 }
 
 
