@@ -146,11 +146,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   stream_bitemporal_history, q_incremental_max_maintain,
 #   q_cube_grouping_id, q_grouping_sets_mixed,
 #   q_pivot_status_by_segment, q_unpivot_roundtrip,
-#   stream_dedup_within_watermark
+#   stream_dedup_within_watermark, q_quantile_cont_exact
 #
 # Round-11 rotation (DECLARED NOW, bounded-staleness discipline): the
-# 27 never-attested rows above (7 round-9 trailing + 20 round-10, in
-# registration order), then the FIRST 23 of the 50 r6-attested rows in
+# 28 never-attested rows above (7 round-9 trailing + 21 round-10, in
+# registration order), then the FIRST 22 of the 50 r6-attested rows in
 # registry order, namely
 #   q_rollup_status_priority, a3_withinfo_consolidate,
 #   a4_duplicate_merge, a5_notes_eq_xref_clear, j04_history_resolution,
@@ -159,9 +159,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   set_ops_except_union, set_array_algebra, pipeline_e2e_mouse,
 #   pipeline_e2e_upsert, sim_ivf_trained, dedup_clusters,
 #   dedup_embedding_bucketed, dedup_winnowing, text_token_count,
-#   text_quality_score, text_lang_id, text_fingerprint,
-#   text_ngram_topk
-# (the remaining 27 r6 rows — stream_interval_join through
+#   text_quality_score, text_lang_id, text_fingerprint
+# (the remaining 28 r6 rows — text_ngram_topk through
 # q_bpe_merges_batched in registry order — lead WINDOW_R12).
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
@@ -508,6 +507,7 @@ def all_queries() -> dict[str, Q]:
         queries_cube,
         queries_pivot,
         queries_streaming_wmdedup,
+        queries_quantile_exact,
     )
 
     missing = [n for n in WINDOW_R10 if n not in _REGISTRY]
