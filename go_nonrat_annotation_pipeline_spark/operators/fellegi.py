@@ -66,7 +66,7 @@ def u_ppm_equality(records: DataFrame, col: str) -> DataFrame:
     return counts.agg(
         F.expr(
             f"CAST((SUM(_c * (_c - 1)) * {PPM}L) DIV "
-            f"(SUM(_c) * (SUM(_c) - 1)) AS BIGINT)"
+            f"GREATEST(SUM(_c) * (SUM(_c) - 1), 1L) AS BIGINT)"
         ).alias("u_ppm")
     )
 
@@ -75,7 +75,7 @@ def sql_u_ppm(source: str, col: str) -> str:
     """DuckDB scalar-subquery mirror of :func:`u_ppm_equality`."""
     return (
         f"(SELECT CAST((SUM(c * (c - 1)) * CAST({PPM} AS BIGINT)) // "
-        f"(SUM(c) * (SUM(c) - 1)) AS BIGINT) FROM "
+        f"GREATEST(SUM(c) * (SUM(c) - 1), 1) AS BIGINT) FROM "
         f"(SELECT COUNT(*) AS c FROM {source} GROUP BY {col}))"
     )
 

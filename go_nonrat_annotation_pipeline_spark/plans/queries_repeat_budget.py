@@ -94,7 +94,8 @@ def _caps(spark, sf_dir):
     + f"""
     SELECT c.source, c.uniq, c.max_epochs,
            CAST(a.alloc AS BIGINT) AS alloc_tokens,
-           CAST((a.alloc * {PPM}) // c.uniq AS BIGINT) AS epochs_ppm,
+           CAST((a.alloc * {PPM}) // GREATEST(c.uniq, 1) AS BIGINT)
+             AS epochs_ppm,
            CAST(CASE WHEN a.alloc = c.cap THEN 1 ELSE 0 END AS BIGINT)
              AS at_ceiling
     FROM rb_caps c JOIN wf_alloc a ON a.source = c.source
@@ -115,9 +116,9 @@ def q_epoch_repeat_budget(spark, sf_dir):
         "uniq",
         "max_epochs",
         F.col("alloc").cast("long").alias("alloc_tokens"),
-        F.expr(f"CAST((alloc * {PPM}L) DIV uniq AS BIGINT)").alias(
-            "epochs_ppm"
-        ),
+        F.expr(
+            f"CAST((alloc * {PPM}L) DIV GREATEST(uniq, 1L) AS BIGINT)"
+        ).alias("epochs_ppm"),
         F.when(F.col("alloc") == F.col("cap"), 1)
         .otherwise(0)
         .cast("long")
