@@ -64,6 +64,25 @@ from .ivm_retract import L_SCHEMA, R_SCHEMA
 
 VIEW_SCHEMA = "k long, attr string, qty long, sign long"
 
+# Folding erases the individual ``part_col=<id>`` partitions, which is
+# exactly what ivm_retract.committed_batch_frontier keys on — so each
+# fold records the highest batch id it absorbed in this marker file at
+# the store root (ADVICE r10 #2). Underscore prefix keeps Spark's
+# parquet reader from treating it as data. The marker is written into
+# the tmp copy BEFORE the swap renames, so it commits atomically with
+# the folded rows, and it is monotone (max with any prior marker).
+FRONTIER_MARKER = "_folded_frontier"
+
+
+def folded_frontier(path: str) -> int | None:
+    """The highest batch id ever folded into this store's seed
+    partition (None if the store was never compacted)."""
+    mf = os.path.join(path, FRONTIER_MARKER)
+    if not os.path.isfile(mf):
+        return None
+    with open(mf) as fh:
+        return int(fh.read().strip())
+
 
 def _recover(path: str) -> None:
     """Finish or discard an interrupted compaction (see module doc).
@@ -130,12 +149,24 @@ def compact_signed_store(
         .localCheckpoint()
     )
     n_after = folded.count()
+    # highest id this fold absorbs: every partition present now, max'd
+    # with any prior fold's marker (a fold of a seed-only store must
+    # not regress the recorded frontier)
+    absorbed = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(path)
+        if name.startswith(part_col + "=")
+    ]
+    prior = folded_frontier(path)
+    frontier = max(absorbed + ([prior] if prior is not None else []))
     tmp = path + ".compact_tmp"
     old = path + ".compact_old"
     shutil.rmtree(tmp, ignore_errors=True)
     folded.write.mode("overwrite").parquet(
         os.path.join(tmp, f"{part_col}=-1")
     )
+    with open(os.path.join(tmp, FRONTIER_MARKER), "w") as fh:
+        fh.write(str(frontier))
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

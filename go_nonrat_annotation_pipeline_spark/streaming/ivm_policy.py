@@ -44,7 +44,12 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .ivm_compact import VIEW_SCHEMA, compact_signed_store, read_signed_store
+from .ivm_compact import (
+    VIEW_SCHEMA,
+    _recover,
+    compact_signed_store,
+    read_signed_store,
+)
 from .ivm_retract import L_SCHEMA, R_SCHEMA, make_ivm_retract_handler
 
 
@@ -87,6 +92,16 @@ def make_policy_compacting_handler(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # Finish or roll back any swap a crash interrupted BEFORE the
+        # existence check: compact_signed_store can die between its two
+        # renames, leaving the store dir absent with .compact_tmp/_old
+        # holding the data. The isdir skip below would then hide the
+        # store from this sweep and the inner handler's _read_store
+        # would crash-loop on the missing path (ADVICE r10 #1). Done on
+        # EVERY batch, not just policy batches — replay of a non-policy
+        # batch must also find the store healed.
+        for _, path, _, _ in stores:
+            _recover(path)
         if batch_id > 0 and batch_id % check_every == 0:
             for tag, path, ddl, pc in stores:
                 if not os.path.isdir(path):

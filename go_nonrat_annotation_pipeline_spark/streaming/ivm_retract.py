@@ -123,20 +123,36 @@ def committed_batch_frontier(l_dir: str, r_dir: str) -> int | None:
     starts after N-1 checkpoint-committed), so every view partition at
     or below this frontier is committed and only partitions ABOVE it
     can sit in the crash window between a view write and its base
-    admits. A max (not a set intersection) is deliberate: compaction
-    folds historical admit partitions into the ``=-1`` seed, erasing
-    their individual ids while their view partitions remain valid."""
+    admits.
 
-    def ids(d: str) -> set[int]:
+    Compaction folds historical admit partitions into the ``=-1`` seed,
+    erasing their individual ids while their view partitions remain
+    valid — the fold records the highest id it absorbed in the store's
+    ``_folded_frontier`` marker (ivm_compact, ADVICE r10 #2), and a
+    side "covers" batch id x when x is an explicit partition OR
+    x <= its marker. Without the marker, a crash (or concurrent read)
+    in the window between a fold and the next admit writes would
+    collapse the id intersection to the seed and silently hide every
+    committed view partition."""
+    from .ivm_compact import folded_frontier
+
+    def scan(d: str) -> tuple[set[int], int | None]:
         out: set[int] = set()
         if os.path.isdir(d):
             for name in os.listdir(d):
                 if name.startswith("admit_batch="):
                     out.add(int(name.split("=", 1)[1]))
-        return out
+        return out, folded_frontier(d)
 
-    both = ids(l_dir) & ids(r_dir)
-    return max(both) if both else None
+    (sl, ml), (sr, mr) = scan(l_dir), scan(r_dir)
+
+    def covered(x: int, s: set[int], m: int | None) -> bool:
+        return x in s or (m is not None and x <= m)
+
+    cands = sl | sr
+    cands.update(m for m in (ml, mr) if m is not None)
+    good = [x for x in cands if covered(x, sl, ml) and covered(x, sr, mr)]
+    return max(good) if good else None
 
 
 def read_view_net(

@@ -203,3 +203,64 @@ def test_rename_only_swap_recovers_every_crash_point(spark, tmp_path):
     _recover(v_dir)
     assert os.path.isdir(v_dir) and not os.path.isdir(old)
     assert sorted(tuple(r) for r in read_view_net(spark, v_dir).collect()) == before
+
+
+def test_folded_frontier_marker_keeps_committed_view_readable(
+    spark, tmp_path
+):
+    """ADVICE r10 #2: a fold replaces every admit partition with the
+    ``=-1`` seed, which used to collapse committed_batch_frontier to -1
+    (or None) and make the frontier-filtered read_view_net silently
+    return an empty/partial view. The ``_folded_frontier`` marker must
+    preserve the frontier across folds — including the asymmetric case
+    where only one base store has been compacted."""
+    from go_nonrat_annotation_pipeline_spark.streaming.ivm_compact import (
+        folded_frontier,
+    )
+    from go_nonrat_annotation_pipeline_spark.streaming.ivm_retract import (
+        committed_batch_frontier,
+    )
+
+    batches = _churn_batches(5)  # batch ids 0..5
+    l_dir, r_dir, v_dir, _, n = _run(spark, tmp_path, batches)
+    want = sorted(tuple(r) for r in read_view_net(spark, v_dir).collect())
+    assert committed_batch_frontier(l_dir, r_dir) == n - 1
+
+    # fold ONLY the left base (the policy compacts stores independently
+    # — per-store tombstone fractions diverge)
+    compact_signed_store(spark, l_dir, "k long, attr string, sign long")
+    assert folded_frontier(l_dir) == n - 1
+    assert committed_batch_frontier(l_dir, r_dir) == n - 1
+    got = sorted(
+        tuple(r) for r in read_view_net(spark, v_dir, l_dir, r_dir).collect()
+    )
+    assert got == want
+
+    # fold the right base too — both sides now marker-covered
+    compact_signed_store(spark, r_dir, "k long, qty long, sign long")
+    assert committed_batch_frontier(l_dir, r_dir) == n - 1
+    got = sorted(
+        tuple(r) for r in read_view_net(spark, v_dir, l_dir, r_dir).collect()
+    )
+    assert got == want
+
+    # a second fold of a seed-only store must not regress the marker
+    compact_signed_store(spark, l_dir, "k long, attr string, sign long")
+    assert folded_frontier(l_dir) == n - 1
+
+    # crash window AFTER the fold: batch n writes view + L admit, dies
+    # before the R admit — the new view partition must stay excluded
+    # (covered by neither R's explicit ids nor its marker)
+    spark.createDataFrame(
+        [(9, "phantom", 1)], "k long, attr string, sign long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(l_dir, f"admit_batch={n}")
+    )
+    spark.createDataFrame(
+        [(9, "phantom", 999, 1)], "k long, attr string, qty long, sign long"
+    ).write.mode("overwrite").parquet(os.path.join(v_dir, f"batch={n}"))
+    assert committed_batch_frontier(l_dir, r_dir) == n - 1
+    got = sorted(
+        tuple(r) for r in read_view_net(spark, v_dir, l_dir, r_dir).collect()
+    )
+    assert got == want

@@ -172,3 +172,45 @@ def test_fold_never_touches_inflight_batch_and_crash_replays(
     plain(spark.createDataFrame(crash_rows, SCHEMA), 8)
     want = sorted(tuple(r) for r in read_view_net(spark, v2).collect())
     assert got == want
+
+
+def test_crash_mid_compaction_heals_on_next_batch(spark, tmp_path):
+    """ADVICE r10 #1: compact_signed_store can die between its two
+    renames, leaving the store dir MISSING with the folded copy in
+    .compact_tmp. The policy handler used to skip missing dirs and the
+    inner handler then crash-looped on the absent path; it must now
+    _recover every store up front — on any batch, policy or not — and
+    replay to the same view as an uninterrupted run."""
+    batches = _churn(7)  # batch ids 0..7
+    l_dir, r_dir, v_dir = _dirs(tmp_path, "midcrash")
+    _seed_empty(spark, l_dir, r_dir)
+    pol = make_policy_compacting_handler(
+        spark, l_dir, r_dir, v_dir, threshold=0.4, check_every=100
+    )
+    for i, rows in enumerate(batches[:-1]):
+        pol(spark.createDataFrame(rows, SCHEMA), i)
+
+    # simulate the mid-swap crash: fold committed to tmp, store renamed
+    # away (rename 1 done, rename 2 not) — store dir is GONE
+    from go_nonrat_annotation_pipeline_spark.streaming.ivm_compact import (
+        compact_signed_store,
+    )
+
+    compact_signed_store(spark, l_dir, L_DDL)  # healthy fold first
+    os.rename(l_dir, l_dir + ".compact_tmp")
+    assert not os.path.isdir(l_dir)
+
+    # batch 7 (NOT a policy batch: check_every=100) must heal and apply
+    pol(spark.createDataFrame(batches[-1], SCHEMA), 7)
+    assert os.path.isdir(l_dir)
+    got = sorted(
+        tuple(r) for r in read_view_net(spark, v_dir, l_dir, r_dir).collect()
+    )
+
+    l2, r2, v2 = _dirs(tmp_path, "midcrash_ref")
+    _seed_empty(spark, l2, r2)
+    plain = make_ivm_retract_handler(spark, l2, r2, v2)
+    for i, rows in enumerate(batches):
+        plain(spark.createDataFrame(rows, SCHEMA), i)
+    want = sorted(tuple(r) for r in read_view_net(spark, v2).collect())
+    assert got == want
