@@ -593,6 +593,9 @@ def all_queries() -> dict[str, Q]:
         queries_pivot,
         queries_streaming_wmdedup,
         queries_quantile_exact,
+        # round-11 additions (after WINDOW_R11; lead the round-12
+        # rotation together with the 28 remaining r6-attested rows)
+        queries_minmax_rescan,
     )
 
     missing = [n for n in WINDOW_R11 if n not in _REGISTRY]
