@@ -1,0 +1,149 @@
+"""Lossless IVF-cell pruning for threshold decontamination (ANN twin).
+
+``plans/queries_semantic_decontam.py`` scores every corpus embedding
+against EVERY benchmark embedding (N x B cosines). That is linear in
+the corpus and the right first shape, but at a realistic combined eval
+suite (B ~ 1e4-1e5 items) the per-doc constant is B cosines. The
+standard IVF fix — probe only the nearest cell(s) — is LOSSY: a
+within-threshold benchmark item can sit in an unprobed cell and flip
+the verdict, which the driver's exact-value oracle would catch.
+
+This module is the exact variant: ball-pruned IVF (the classic
+branch-and-bound / ball-tree bound, e.g. Omohundro 1989; the same
+triangle-inequality cell bound FAISS uses for exact IVFFlat search).
+Benchmark embeddings are partitioned into k cells; each cell c keeps
+its unit centroid u_c and max residual res_c = max_b ||b_hat - u_c||.
+For a corpus vector x with unit form x_hat, any bench b with
+cos(x, b) >= t satisfies ||x_hat - b_hat|| <= r where r = sqrt(2 - 2t),
+so by the triangle inequality its cell has
+||x_hat - u_c|| <= r + res_c. Probing exactly the cells inside that
+bound therefore sees EVERY within-threshold pair — the verdict and the
+above-threshold argmax are identical to brute force BY CONSTRUCTION,
+on any data. Pruning power is data-dependent: clustered benches
+(the realistic regime — eval suites are topically coherent) prune
+hard; on unclustered data the bound admits all cells and the plan
+degrades gracefully to brute force plus k dot products per row.
+
+Spark-first: the benchmark side is dictionary-sized by contract, so
+the cell build is a driver-side numpy fold over the collected bench
+(exactly the ivf_assign/argmax_cell discipline); the corpus side never
+collects — probing is one map-side filter expression (k dot products
+per row, folded-in literals, no shuffle), then an explode + broadcast
+join against the cell-tagged bench and ONE struct-max aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, functions as F
+
+# Absolute slack on the centroid-side cosine bound: covers (a) the
+# round-half-up boundary of the 6dp-rounded cosine (5e-7) and (b) any
+# float64 discrepancy between the driver-side numpy residuals and the
+# JVM expression dots (~1e-15). 1e-6 dominates both.
+_SLACK = 1e-6
+
+
+def build_bench_cells(
+    bench_rows: list[tuple[int, list[float]]],
+    k: int = 8,
+    lloyd_iters: int = 8,
+) -> tuple[list[tuple[int, int]], list[tuple[int, list[float], float]]]:
+    """Partition collected benchmark vectors into ``k`` cells.
+
+    Driver-side and deterministic: farthest-point (k-center / Gonzalez)
+    seeding from the lowest bench id, then ``lloyd_iters`` Lloyd steps
+    on the unit sphere (argmin Euclidean == argmax cosine); empty cells
+    carry their seed forward (the operators/kmeans.kmeans_fit
+    convention). Farthest-point beats strided seeding here because the
+    prune bound pays quadratically for a merged cluster's residual.
+    Returns
+    ``(assign, cells)`` where ``assign`` is [(bench_id, cell_id)] and
+    ``cells`` is [(cell_id, unit_centroid, max_residual)] with cell ids
+    1..k (1-based for element_at in the probe expression).
+    """
+    if not bench_rows:
+        return [], []
+    rows = sorted(bench_rows, key=lambda r: r[0])
+    ids = [int(i) for i, _ in rows]
+    B = np.asarray([np.asarray(v, dtype=np.float64) for _, v in rows])
+    Bh = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+    k = min(k, len(rows))
+    seeds = [0]
+    best = Bh @ Bh[0]  # max cosine to any chosen seed, per point
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))  # farthest point (ties -> lowest id)
+        seeds.append(nxt)
+        best = np.maximum(best, Bh @ Bh[nxt])
+    C = Bh[seeds].copy()
+    for _ in range(lloyd_iters):
+        a = np.argmax(Bh @ C.T, axis=1)  # ties -> lowest cell (argmax)
+        for c in range(k):
+            m = Bh[a == c]
+            if len(m):
+                mu = m.mean(axis=0)
+                n = np.linalg.norm(mu)
+                if n > 0:
+                    C[c] = mu / n
+    a = np.argmax(Bh @ C.T, axis=1)
+    assign = [(ids[i], int(a[i]) + 1) for i in range(len(ids))]
+    cells = []
+    for c in range(k):
+        m = Bh[a == c]
+        res = float(np.max(np.linalg.norm(m - C[c], axis=1))) if len(m) else 0.0
+        cells.append((c + 1, [float(x) for x in C[c]], res))
+    return assign, cells
+
+
+def probe_cells(
+    vec_col: Column,
+    cells: list[tuple[int, list[float], float]],
+    threshold: float,
+) -> Column:
+    """Array of cell ids a vector must probe for an exact verdict at
+    ``threshold`` — a pure map-side filter over the k folded-in unit
+    centroids (the argmax_cell literal discipline: one SQL array literal
+    per matrix, O(1) lambda trees total, repr() round-trips doubles).
+
+    Cell c is probed iff cos(x, u_c) >= smin_c where
+    smin_c = 1 - (r + res_c)^2 / 2, r = sqrt(2 - 2*(threshold - slack))
+    — the cosine form of ||x_hat - u_c|| <= r + res_c, so no
+    normalization of x is materialized (dot >= smin * ||x||).
+    """
+    t_eff = max(-1.0, min(1.0, threshold - _SLACK))
+    r = math.sqrt(max(0.0, 2.0 - 2.0 * t_eff))
+
+    def _arr_sql(xs) -> str:
+        return "array(" + ",".join(f"{x!r}D" for x in xs) + ")"
+
+    ids, smins, mats = [], [], []
+    for cid, cv, res in cells:
+        ids.append(float(cid))
+        thr = r + res + _SLACK
+        smins.append(1.0 - thr * thr / 2.0)
+        mats.append([float(x) for x in cv])
+    if not ids:
+        return F.expr("array()").cast("array<bigint>")
+
+    C = F.expr("array(" + ",".join(_arr_sql(cv) for cv in mats) + ")")
+    smin = F.expr(_arr_sql(smins))
+    cid_arr = F.expr(_arr_sql(ids))
+    vnorm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    probed = F.filter(
+        F.sequence(F.lit(1), F.lit(len(ids))),
+        lambda i: F.aggregate(
+            F.zip_with(
+                vec_col, F.element_at(C, i), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        >= F.element_at(smin, i) * vnorm,
+    )
+    return F.transform(
+        probed, lambda i: F.element_at(cid_arr, i).cast("bigint")
+    )

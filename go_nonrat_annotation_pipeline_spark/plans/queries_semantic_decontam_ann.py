@@ -1,0 +1,112 @@
+"""ANN-accelerated semantic decontamination — round-11 module,
+registered AFTER WINDOW_R11 (leads round 12).
+
+Twin of ``q_semantic_decontam`` (brute-force N x B gate) with the
+per-doc constant cut from B cosines to (k centroid dots + candidates
+in probed cells), via the LOSSLESS ball-pruned IVF of
+``operators/decontam_ann.py`` — verdict and above-threshold best match
+identical to brute force by construction (triangle-inequality cell
+bound), so the oracle IS the brute-force SQL. On clustered benches
+(the realistic regime) pruning is near-total; on unclustered data the
+bound admits all cells and the plan degrades gracefully to brute
+force. tools/scale_probe.py's decontam_ann probe measures both
+regimes; tests/test_decontam_ann.py pins exact agreement and that
+clustered data actually prunes.
+
+Output contract (differs from the brute-force twin deliberately): the
+best match (bench_id, cosine) is exposed ONLY for contaminated items —
+below threshold the pruned search may not have seen the global argmax
+(it provably sees every within-threshold pair), so the honest exact
+output is the verdict plus the match that triggered it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.decontam_ann import build_bench_cells, probe_cells
+from ..operators.dedup import cosine
+from ..operators.similarity import _as_double
+from ..operators.util import ensure_parallelism
+from ..sources.testdata import load_table
+from .registry import register
+from .queries_semantic_decontam import _CTES, _TH_6DP
+
+_K_CELLS = 8
+
+
+@register(
+    "q_semantic_decontam_ann",
+    "    WITH "
+    + _CTES
+    + f"""
+    SELECT c.vec_id,
+           COALESCE(b.cosine >= {_TH_6DP}, FALSE) AS contaminated,
+           CASE WHEN b.cosine >= {_TH_6DP} THEN b.bench_id
+                END AS bench_id,
+           CASE WHEN b.cosine >= {_TH_6DP} THEN b.cosine
+                END AS cosine
+    FROM sdq_corpus c LEFT JOIN sdq_best b USING (vec_id)
+    """,
+    doc="exact ANN twin of the semantic decontamination gate: benchmark "
+    "side partitioned into IVF cells (driver-side numpy over the "
+    "dictionary-sized bench), corpus probes only cells passing the "
+    "lossless ball bound (map-side filter, k folded-in dots/row), exact "
+    "cosine re-rank on probed candidates only — verdicts provably equal "
+    "brute force, so the oracle is the brute-force SQL",
+)
+def q_semantic_decontam_ann(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    bench_rows = [
+        (r[0], list(r[1]))
+        for r in emb.where("label = 0").select("vec_id", "embedding").collect()
+    ]
+    corpus = emb.where("label != 0").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vc")
+    )
+    assign, cells = build_bench_cells(bench_rows, k=_K_CELLS)
+    if not cells:
+        return corpus.select(
+            "vec_id",
+            F.lit(False).alias("contaminated"),
+            F.lit(None).cast("long").alias("bench_id"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    by_id = dict(bench_rows)
+    bench_cells = spark.createDataFrame(
+        [(cell, bid, [float(x) for x in by_id[bid]]) for bid, cell in assign],
+        "cell long, bench_id long, vb array<double>",
+    )
+    # explode_outer keeps zero-probe corpus rows alive (cell NULL never
+    # matches the broadcast side), so ONE groupBy covers hits and clean
+    # rows alike — no corpus-scale join-back for the not-contaminated
+    # verdicts. Plan: scan -> map-side probe/explode -> broadcast hash
+    # join -> one hash aggregate (single shuffle on vec_id).
+    cand = (
+        corpus.select(
+            "vec_id",
+            "vc",
+            F.explode_outer(
+                probe_cells(F.col("vc"), cells, _TH_6DP)
+            ).alias("cell"),
+        )
+        .join(F.broadcast(bench_cells), "cell", "left")
+        .withColumn("cosine", F.round(cosine(F.col("vc"), F.col("vb")), 6))
+    )
+    best = cand.groupBy("vec_id").agg(
+        F.max(
+            F.when(
+                F.col("cosine").isNotNull(),
+                F.struct(
+                    F.col("cosine"), (-F.col("bench_id")).alias("nbid")
+                ),
+            )
+        ).alias("_b")
+    )
+    hit = F.col("_b.cosine") >= F.lit(_TH_6DP)
+    return best.select(
+        "vec_id",
+        F.coalesce(hit, F.lit(False)).alias("contaminated"),
+        F.when(hit, (-F.col("_b.nbid")).cast("long")).alias("bench_id"),
+        F.when(hit, F.col("_b.cosine")).alias("cosine"),
+    )

@@ -596,6 +596,7 @@ def all_queries() -> dict[str, Q]:
         # round-11 additions (after WINDOW_R11; lead the round-12
         # rotation together with the 28 remaining r6-attested rows)
         queries_minmax_rescan,
+        queries_semantic_decontam_ann,
     )
 
     missing = [n for n in WINDOW_R11 if n not in _REGISTRY]

@@ -127,6 +127,9 @@ AUDITED = {
     ("q_semantic_decontam_report", "max_cosine"): "rounded",
     ("stream_semantic_decontam_gate", "cosine"): "rounded",
     ("q_cube_grouping_id", "total_price"): "decimal-cast",
+    # round 11: the exact-ANN twin re-ranks with the SAME rounded
+    # cosine expression as its brute-force oracle
+    ("q_semantic_decontam_ann", "cosine"): "rounded",
 }
 
 
