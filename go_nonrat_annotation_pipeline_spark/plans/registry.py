@@ -597,6 +597,7 @@ def all_queries() -> dict[str, Q]:
         # rotation together with the 28 remaining r6-attested rows)
         queries_minmax_rescan,
         queries_semantic_decontam_ann,
+        queries_pivot_dynamic,
     )
 
     missing = [n for n in WINDOW_R11 if n not in _REGISTRY]
