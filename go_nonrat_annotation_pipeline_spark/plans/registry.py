@@ -598,6 +598,7 @@ def all_queries() -> dict[str, Q]:
         queries_minmax_rescan,
         queries_semantic_decontam_ann,
         queries_pivot_dynamic,
+        queries_streaming_btcompact,
     )
 
     missing = [n for n in WINDOW_R11 if n not in _REGISTRY]
