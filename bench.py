@@ -111,6 +111,12 @@ EXTENDED = [
     "q_probabilistic_linkage_e2e",
     "q_semantic_decontam",
     "q_bitemporal_history",
+    # round 11 additions: exact-ANN decontamination twin, selective
+    # min/max IVM rescan E2E, dynamic pivot, compacted bitemporal store
+    "q_semantic_decontam_ann",
+    "q_incremental_minmax_rescan_e2e",
+    "q_pivot_dynamic",
+    "stream_bitemporal_compacted",
 ]
 
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # Absolute slack on the centroid-side cosine bound: covers (a) the
@@ -101,6 +102,7 @@ def probe_cells(
     vec_col: Column,
     cells: list[tuple[int, list[float], float]],
     threshold: float,
+    kernel: bool = False,
 ) -> Column:
     """Array of cell ids a vector must probe for an exact verdict at
     ``threshold`` — a pure map-side filter over the k folded-in unit
@@ -111,9 +113,45 @@ def probe_cells(
     smin_c = 1 - (r + res_c)^2 / 2, r = sqrt(2 - 2*(threshold - slack))
     — the cosine form of ||x_hat - u_c|| <= r + res_c, so no
     normalization of x is materialized (dot >= smin * ||x||).
+
+    ``kernel=True`` swaps the k interpreted higher-order dots per row
+    for ONE Arrow numpy matmul per batch (the argmax_cell convention —
+    the scale setting for k ≳ 16). Exactness is kernel-independent:
+    the _SLACK absolute margin dwarfs any float reassociation delta
+    between numpy and the JVM fold (~1e-13 relative), so the kernel's
+    probed set is still a superset of every within-threshold pair; the
+    downstream re-rank computes the oracle-exact expression cosine on
+    candidates either way.
     """
     t_eff = max(-1.0, min(1.0, threshold - _SLACK))
     r = math.sqrt(max(0.0, 2.0 - 2.0 * t_eff))
+    if kernel:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        ids_np = np.asarray([int(c) for c, _, _ in cells], dtype=np.int64)
+        Cn = np.asarray(
+            [np.asarray(cv, dtype=np.float64) for _, cv, _ in cells]
+        ).T  # (dim, k)
+        smin_np = np.asarray(
+            [
+                1.0 - (r + res + _SLACK) ** 2 / 2.0
+                for _, _, res in cells
+            ]
+        )
+
+        @pandas_udf("array<bigint>")
+        def probe(v: pd.Series) -> pd.Series:
+            m = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in v]
+            )
+            if len(m) == 0:
+                return pd.Series([], dtype="object")
+            dots = m @ Cn  # (n, k)
+            vnorm = np.linalg.norm(m, axis=1, keepdims=True)
+            mask = dots >= smin_np[None, :] * vnorm
+            return pd.Series([list(ids_np[row]) for row in mask])
+
+        return probe(vec_col)
 
     def _arr_sql(xs) -> str:
         return "array(" + ",".join(f"{x!r}D" for x in xs) + ")"

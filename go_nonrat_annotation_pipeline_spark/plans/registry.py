@@ -176,6 +176,12 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # (the remaining 28 r6 rows — text_ngram_topk through
 # q_bpe_merges_batched in registry order — lead WINDOW_R12).
 #
+# Round-11 ledger — trailing additions in registration order (these
+# lead WINDOW_R12 ahead of the 28 remaining r6-attested rows, same
+# never-attested-first discipline):
+#   q_incremental_minmax_rescan_e2e, q_semantic_decontam_ann,
+#   q_pivot_dynamic, stream_bitemporal_compacted
+#
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
 # may snapshot at any time — (a) `bits >= 2` validation in

@@ -142,6 +142,33 @@ def test_probe_superset_of_within_threshold_cells(spark):
                     assert cell_of[bids[j]] in probed[cid]
 
 
+def test_kernel_probe_agrees_with_expression(spark):
+    """The Arrow matmul probe and the interpreted expression probe
+    compute the same bound (slack >> reassociation error) — probed
+    sets agree exactly on this data, and both are supersets of the
+    within-threshold cells by the lossless argument."""
+    bench, corpus = _clustered(seed=3, n_anchors=8, n_bench=80, n_corpus=60)
+    _, cells = build_bench_cells(bench, k=8)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in corpus],
+        "vec_id long, vc array<double>",
+    )
+    for th in (0.35, 0.9):
+        expr = {
+            r.vec_id: sorted(r.p)
+            for r in cdf.withColumn(
+                "p", probe_cells(F.col("vc"), cells, th)
+            ).collect()
+        }
+        kern = {
+            r.vec_id: sorted(r.p)
+            for r in cdf.withColumn(
+                "p", probe_cells(F.col("vc"), cells, th, kernel=True)
+            ).collect()
+        }
+        assert expr == kern
+
+
 def test_empty_bench_all_clean(spark):
     assign, cells = build_bench_cells([], k=4)
     assert (assign, cells) == ([], [])

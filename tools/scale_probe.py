@@ -379,7 +379,241 @@ def ivm_policy_probe(
     _sh.rmtree(root, ignore_errors=True)
 
 
+def bitemporal_churn_probe(rounds: int = 20, keys: int = 20000):
+    """Bitemporal-store churn probe (VERDICT r10 Next #6): `rounds`
+    batches each correcting the SAME (key, valid-day) slots — live
+    domain fixed, correction history linear. Plain append-only store
+    grows with history and every view read resolves all of it; the
+    policy-compacted handler folds between batches, so store rows and
+    view-read cost stay flat at the live set. Run 20 and 40 rounds to
+    see the plain store double while the compacted one stays put."""
+    import shutil as _sh
+    import tempfile
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.streaming.bitemporal_compact import (
+        bitemporal_view_compacted,
+        make_compacting_bitemporal_handler,
+        read_assertions_carry,
+    )
+    from go_nonrat_annotation_pipeline_spark.streaming.bitemporal_stream import (
+        bitemporal_view,
+        make_bitemporal_handler,
+    )
+
+    root = tempfile.mkdtemp(prefix="bt_churn_")
+    plain_dir = os.path.join(root, "plain")
+    comp_dir = os.path.join(root, "comp")
+
+    def batch(r: int):
+        return spark.range(keys).selectExpr(
+            "id AS user_id",
+            f"concat('v{r}_', id) AS val",
+            "10 + (id % 2) * 10 AS valid_us",
+            f"{1000 + r} AS recorded_us",
+            f"id * 1000 + {r} AS _tie",
+        )
+
+    audit = []
+    plain = make_bitemporal_handler(spark, plain_dir)
+    comp = make_compacting_bitemporal_handler(
+        spark, comp_dir, threshold=0.5, check_every=4, audit=audit
+    )
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        plain(batch(r), r)
+    t_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        comp(batch(r), r)
+    t_comp = time.perf_counter() - t0
+    n_plain = spark.read.parquet(plain_dir).count()
+    n_comp = read_assertions_carry(spark, comp_dir).count()
+    print(
+        f"churn {rounds}r x {keys:,} keys: plain store {n_plain:,} rows "
+        f"({t_plain:.1f}s maintain), compacted {n_comp:,} rows "
+        f"({t_comp:.1f}s maintain incl. {len(audit)} folds)"
+    )
+    timed(
+        "view_read(plain store)",
+        lambda: bitemporal_view(spark, plain_dir).count(),
+        n_plain,
+    )
+    timed(
+        "view_read(compacted)",
+        lambda: bitemporal_view_compacted(spark, comp_dir).count(),
+        n_comp,
+    )
+    _sh.rmtree(root, ignore_errors=True)
+
+
+def minmax_rescan_probe(groups: int = 50000, rows_per_group: int = 40):
+    """Selective-rescan cost probe (VERDICT r10 Next #4 tail): exhaust
+    1% / 10% / 100% of groups' MIN buffers via deletes, then time
+    minbuf_rescan. The claim (Gupta–Mumick ≤1 rescan per k deletes,
+    cost ∝ flagged groups): wall-clock tracks the FLAGGED slice, with
+    the full-state rebuild as the 100% reference point."""
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.operators.incragg_minmax import (
+        minbuf_maintain,
+        minbuf_state,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.incragg_rescan import (
+        minbuf_rescan,
+    )
+
+    k = 4
+    base = (
+        spark.range(groups * rows_per_group)
+        .selectExpr(
+            f"id % {groups} AS g", f"CAST(id DIV {groups} AS LONG) AS v"
+        )
+        .localCheckpoint()
+    )
+    n_base = base.count()
+    state0 = minbuf_state(base, "g", "v", k).localCheckpoint()
+    for pct in (1, 10, 100):
+        nflag = groups * pct // 100
+        # delete every buffered value (v < k) of the first nflag groups
+        # -> exactly those groups exhaust; base after CDC loses them
+        dels = base.where(f"g < {nflag} AND v < {k}")
+        post = base.where(f"NOT (g < {nflag} AND v < {k})")
+        st = minbuf_maintain(
+            state0, spark.createDataFrame([], "g long, v long"), dels,
+            "g", "v", k,
+        ).localCheckpoint()
+        flagged = st.where(F.size("buf") == 0).count()
+        assert flagged == nflag, (flagged, nflag)
+        timed(
+            f"rescan({pct:>3}% = {nflag:,} groups)",
+            lambda post=post, st=st: minbuf_rescan(
+                st, post, "g", "v", k
+            ).count(),
+            n_base,
+        )
+
+
+def decontam_ann_probe(n_bench: int = 2000, n_corpus: int = 20000):
+    """Exact-ANN decontamination probe (VERDICT r10 Next #3): clustered
+    benchmark (the realistic eval-suite regime) at B and 10B items,
+    fixed corpus. Brute force pays N x B cosines; the ball-pruned IVF
+    pays k dots + probed candidates — per-doc cost stays flat as the
+    bench inflates because candidates track cell occupancy NEAR the
+    doc, not B. Threshold 0.9 (paraphrase radius of real encoders)."""
+    import numpy as np
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.operators.decontam_ann import (
+        build_bench_cells,
+        probe_cells,
+    )
+
+    dim, n_anchors, th = 64, 64, 0.9
+    rng = np.random.default_rng(1101)
+    A = rng.normal(size=(n_anchors, dim))
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+
+    def mkvecs(n, contaminated_frac=0.0):
+        out = []
+        for i in range(n):
+            if i < n * contaminated_frac:
+                v = A[i % n_anchors] + 0.02 * rng.normal(size=dim)
+            else:
+                v = rng.normal(size=dim)
+            out.append([float(x) for x in v / np.linalg.norm(v)])
+        return out
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(mkvecs(n_corpus, 0.1))],
+        "vec_id long, vc array<double>",
+    ).repartition(32).localCheckpoint()
+
+    for mult in (1, 10):
+        B = n_bench * mult
+        bench_rows = [
+            (i, A[i % n_anchors] + 0.02 * rng.normal(size=dim))
+            for i in range(B)
+        ]
+        bench_rows = [
+            (i, [float(x) for x in v / np.linalg.norm(v)])
+            for i, v in bench_rows
+        ]
+        assign, cells = build_bench_cells(bench_rows, k=n_anchors)
+        by_id = dict(bench_rows)
+        bc = spark.createDataFrame(
+            [(c, b, by_id[b]) for b, c in assign],
+            "cell long, bench_id long, vb array<double>",
+        )
+        from go_nonrat_annotation_pipeline_spark.operators.dedup import cosine
+
+        def ann(kernel=False):
+            cand = (
+                corpus.withColumn(
+                    "cell",
+                    F.explode_outer(
+                        probe_cells(F.col("vc"), cells, th, kernel=kernel)
+                    ),
+                )
+                .join(F.broadcast(bc), "cell", "left")
+                .withColumn(
+                    "cosine", F.round(cosine(F.col("vc"), F.col("vb")), 6)
+                )
+            )
+            hits = (
+                cand.groupBy("vec_id")
+                .agg(F.max(F.col("cosine") >= th).alias("c"))
+                .where("c").count()
+            )
+            n_cand = cand.where(F.col("cosine").isNotNull()).count()
+            print(
+                f"  B={B:,}: candidates={n_cand:,} "
+                f"({n_cand / n_corpus:.1f}/doc vs {B} brute) hits={hits:,}"
+            )
+            return hits
+
+        def brute():
+            scored = corpus.crossJoin(
+                F.broadcast(bc.select("bench_id", "vb"))
+            ).withColumn(
+                "cosine", F.round(cosine(F.col("vc"), F.col("vb")), 6)
+            )
+            return (
+                scored.groupBy("vec_id")
+                .agg(F.max(F.col("cosine") >= th).alias("c"))
+                .where("c").count()
+            )
+
+        timed(f"ann_gate(B={B:,})", ann, n_corpus)
+        timed(
+            f"ann_gate_kernel(B={B:,})",
+            lambda: ann(kernel=True),
+            n_corpus,
+        )
+        timed(f"brute_gate(B={B:,})", brute, n_corpus)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "bitemporal":
+        bitemporal_churn_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 20,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "minmax-rescan":
+        minmax_rescan_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 50000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 40,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "decontam-ann":
+        decontam_ann_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "ivm":
         ivm_churn_probe(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10,
