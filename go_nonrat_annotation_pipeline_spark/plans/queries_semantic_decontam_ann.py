@@ -110,3 +110,32 @@ def q_semantic_decontam_ann(spark, sf_dir):
         F.when(hit, (-F.col("_b.nbid")).cast("long")).alias("bench_id"),
         F.when(hit, F.col("_b.cosine")).alias("cosine"),
     )
+
+
+@register(
+    "q_semantic_decontam_ann_report",
+    "    WITH "
+    + _CTES
+    + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           CAST(SUM(CASE WHEN cosine >= {_TH_6DP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           MAX(CASE WHEN cosine >= {_TH_6DP} THEN cosine
+               END) AS max_hit_cosine
+    FROM sdq_best
+    """,
+    doc="release-gate numbers off the exact-ANN gate: corpus size, "
+    "flagged count, hottest CONTAMINATED proximity (the pruned search "
+    "provably finds the global max iff it clears the threshold — below "
+    "it the honest exact report is NULL, unlike the brute-force twin's "
+    "max_cosine)",
+)
+def q_semantic_decontam_ann_report(spark, sf_dir):
+    gate = q_semantic_decontam_ann(spark, sf_dir)
+    return gate.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.sum(F.col("contaminated").cast("long"))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.max("cosine").alias("max_hit_cosine"),
+    )

@@ -180,7 +180,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # lead WINDOW_R12 ahead of the 28 remaining r6-attested rows, same
 # never-attested-first discipline):
 #   q_incremental_minmax_rescan_e2e, q_semantic_decontam_ann,
-#   q_pivot_dynamic, stream_bitemporal_compacted
+#   q_semantic_decontam_ann_report, q_pivot_dynamic,
+#   stream_bitemporal_compacted
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver

@@ -130,6 +130,7 @@ AUDITED = {
     # round 11: the exact-ANN twin re-ranks with the SAME rounded
     # cosine expression as its brute-force oracle
     ("q_semantic_decontam_ann", "cosine"): "rounded",
+    ("q_semantic_decontam_ann_report", "max_hit_cosine"): "rounded",
 }
 
 
