@@ -117,6 +117,7 @@ EXTENDED = [
     "q_incremental_minmax_rescan_e2e",
     "q_pivot_dynamic",
     "stream_bitemporal_compacted",
+    "dedup_embedding_exact_pairs",
 ]
 
 

@@ -98,6 +98,74 @@ def build_bench_cells(
     return assign, cells
 
 
+def residual_to_cell(
+    vec_col: Column,
+    cell_col: Column,
+    cent_rows: list[tuple[int, list[float]]],
+) -> Column:
+    """Unit-sphere distance from a vector to its ASSIGNED cell's unit
+    centroid — sqrt(2 - 2*cos(v, u_cell)), map-side, centroids folded
+    in as one array literal indexed by the (1-based, contiguous) cell
+    id. Feeds the per-cell max-residual aggregate that tightens the
+    ball bound to the FULL population assigned to each cell (a builder
+    trained on a sample only knows the sample's residuals)."""
+
+    def _arr_sql(xs) -> str:
+        return "array(" + ",".join(f"{x!r}D" for x in xs) + ")"
+
+    rows = sorted(cent_rows)
+    assert [c for c, _ in rows] == list(range(1, len(rows) + 1))
+    C = F.expr(
+        "array("
+        + ",".join(_arr_sql([float(x) for x in cv]) for _, cv in rows)
+        + ")"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.element_at(C, cell_col.cast("int")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.sqrt(
+        F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * dot / vnorm)
+    )
+
+
+def compatible_cell_pairs(
+    cells: list[tuple[int, list[float], float]],
+    threshold: float,
+) -> list[tuple[int, int]]:
+    """Ordered cell pairs (ca <= cb) that can hold a cosine pair at
+    ``threshold`` — the self-join face of the ball bound: for any
+    a, b with cos(a, b) >= t, ||a_hat - b_hat|| <= r, so by two
+    triangle hops d(u_ca, u_cb) <= res_ca + r + res_cb. Pairs outside
+    that bound provably hold NO qualifying pair and are never joined.
+    k^2 driver-side work over the dictionary-sized cell table.
+
+    Both directions are emitted for ca != cb (plus (c, c) once), so a
+    caller can anchor side A on ``ca`` and side B on ``cb`` and rely on
+    the id-order filter alone to canonicalize pairs — a qualifying pair
+    (x in c2, y in c1, x.id < y.id) is reached via the (c2, c1) row."""
+    t_eff = max(-1.0, min(1.0, threshold - _SLACK))
+    r = math.sqrt(max(0.0, 2.0 - 2.0 * t_eff))
+    out = []
+    for i, (ca, va, ra) in enumerate(cells):
+        A = np.asarray(va)
+        for cb, vb, rb in cells[i:]:
+            d = float(np.linalg.norm(A - np.asarray(vb)))
+            if d <= ra + r + rb + _SLACK:
+                out.append((ca, cb))
+                if ca != cb:
+                    out.append((cb, ca))
+    return out
+
+
 def probe_cells(
     vec_col: Column,
     cells: list[tuple[int, list[float], float]],

@@ -181,7 +181,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # never-attested-first discipline):
 #   q_incremental_minmax_rescan_e2e, q_semantic_decontam_ann,
 #   q_semantic_decontam_ann_report, q_pivot_dynamic,
-#   stream_bitemporal_compacted
+#   stream_bitemporal_compacted, dedup_embedding_exact_pairs
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
@@ -606,6 +606,7 @@ def all_queries() -> dict[str, Q]:
         queries_semantic_decontam_ann,
         queries_pivot_dynamic,
         queries_streaming_btcompact,
+        queries_dedup_exact_cells,
     )
 
     missing = [n for n in WINDOW_R11 if n not in _REGISTRY]

@@ -169,6 +169,81 @@ def test_kernel_probe_agrees_with_expression(spark):
         assert expr == kern
 
 
+def test_exact_pair_selfjoin_prunes_and_matches_brute(spark):
+    """compatible_cell_pairs: the exact cosine-threshold SELF-join —
+    result set identical to numpy brute force, candidate pairs pruned
+    hard on a clustered corpus at a tight threshold."""
+    from go_nonrat_annotation_pipeline_spark.operators.decontam_ann import (
+        compatible_cell_pairs,
+        residual_to_cell,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.similarity import (
+        argmax_cell,
+    )
+
+    vecs, _ = _clustered(seed=5, n_anchors=12, n_bench=300, n_corpus=0)
+    th = 0.9
+    # stride COPRIME with the 12 id-mod clusters — stride 3 aliases and
+    # samples only clusters {0,3,6,9} (exactness survives, pruning
+    # dies; the registered query uses a hash gate for the same reason)
+    sample = [v for v in vecs if v[0] % 5 == 0]
+    _, cells = build_bench_cells(sample, k=12)
+    cent_rows = [(cid, cv) for cid, cv, _ in cells]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, v array<double>",
+    ).withColumn("cell", argmax_cell(F.col("v"), cent_rows))
+    maxres = {
+        r[0]: r[1]
+        for r in df.groupBy("cell")
+        .agg(
+            F.max(
+                residual_to_cell(F.col("v"), F.col("cell"), cent_rows)
+            ).alias("res")
+        )
+        .collect()
+    }
+    full = [(c, cv, float(maxres.get(c, 0.0))) for c, cv, _ in cells]
+    compat = spark.createDataFrame(
+        compatible_cell_pairs(full, th), "ca long, cb long"
+    )
+    a = df.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("cell").alias("ca"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("cell").alias("cb"),
+    )
+    cand = (
+        a.join(F.broadcast(compat), "ca")
+        .join(b, "cb")
+        .where(F.col("ia") < F.col("ib"))
+    )
+    n_cand = cand.count()
+    got = {
+        (r.ia, r.ib)
+        for r in cand.withColumn(
+            "c", F.round(cosine(F.col("va"), F.col("vb")), 6)
+        )
+        .where(F.col("c") >= th)
+        .collect()
+    }
+    V = np.asarray([v for _, v in vecs])
+    Vh = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = np.round(Vh @ Vh.T, 6)
+    ids = [i for i, _ in vecs]
+    want = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= th
+    }
+    assert got == want and want
+    # pruning: candidates well under the n*(n-1)/2 all-pairs count
+    assert n_cand < 0.3 * len(vecs) * (len(vecs) - 1) / 2, n_cand
+
+
 def test_empty_bench_all_clean(spark):
     assign, cells = build_bench_cells([], k=4)
     assert (assign, cells) == ([], [])
