@@ -154,12 +154,20 @@ def compatible_cell_pairs(
     (x in c2, y in c1, x.id < y.id) is reached via the (c2, c1) row."""
     t_eff = max(-1.0, min(1.0, threshold - _SLACK))
     r = math.sqrt(max(0.0, 2.0 - 2.0 * t_eff))
+
+    def _res(x: float) -> float:
+        # a zero-norm member makes its cell's max residual NaN; a NaN
+        # bound would compare False and silently DROP the whole cell's
+        # pairs (false negatives for its healthy members) — clamp to
+        # the sphere diameter instead, which only loosens the bound
+        return x if math.isfinite(x) else 2.0
+
     out = []
     for i, (ca, va, ra) in enumerate(cells):
         A = np.asarray(va)
         for cb, vb, rb in cells[i:]:
             d = float(np.linalg.norm(A - np.asarray(vb)))
-            if d <= ra + r + rb + _SLACK:
+            if d <= _res(ra) + r + _res(rb) + _SLACK:
                 out.append((ca, cb))
                 if ca != cb:
                     out.append((cb, ca))
