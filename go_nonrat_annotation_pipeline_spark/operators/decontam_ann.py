@@ -137,10 +137,24 @@ def residual_to_cell(
     )
 
 
+def pair_radius(threshold: float) -> float:
+    """The unit-sphere pair radius r = sqrt(2 - 2*(t - slack)): any
+    pair with 6dp-rounded cosine >= t has ||a_hat - b_hat|| <= r.
+    Exposed for the per-ROW candidate filter (see
+    compatible_cell_pairs doc): a qualifying pair also satisfies
+    d(u_ca, u_cb) <= res_a + r + res_b with each row's OWN residual —
+    strictly tighter than the cell-level max-residual bound, whose
+    single worst outlier loosens the whole cell (measured: spread-0.05
+    clusters keep ~90% of cell pairs compatible at the cell level)."""
+    t_eff = max(-1.0, min(1.0, threshold - _SLACK))
+    return math.sqrt(max(0.0, 2.0 - 2.0 * t_eff))
+
+
 def compatible_cell_pairs(
     cells: list[tuple[int, list[float], float]],
     threshold: float,
-) -> list[tuple[int, int]]:
+    with_dist: bool = False,
+) -> list[tuple[int, int]] | list[tuple[int, int, float]]:
     """Ordered cell pairs (ca <= cb) that can hold a cosine pair at
     ``threshold`` — the self-join face of the ball bound: for any
     a, b with cos(a, b) >= t, ||a_hat - b_hat|| <= r, so by two
@@ -151,9 +165,14 @@ def compatible_cell_pairs(
     Both directions are emitted for ca != cb (plus (c, c) once), so a
     caller can anchor side A on ``ca`` and side B on ``cb`` and rely on
     the id-order filter alone to canonicalize pairs — a qualifying pair
-    (x in c2, y in c1, x.id < y.id) is reached via the (c2, c1) row."""
-    t_eff = max(-1.0, min(1.0, threshold - _SLACK))
-    r = math.sqrt(max(0.0, 2.0 - 2.0 * t_eff))
+    (x in c2, y in c1, x.id < y.id) is reached via the (c2, c1) row.
+
+    ``with_dist=True`` appends the exact centroid distance
+    d(u_ca, u_cb) to each row, for the per-ROW tightening filter
+    ``dctr <= res_a + pair_radius(t) + res_b + slack`` applied after
+    the cell join and before the cosine — lossless with each row's own
+    residual, and immune to the max-residual outlier."""
+    r = pair_radius(threshold)
 
     def _res(x: float) -> float:
         # a zero-norm member makes its cell's max residual NaN; a NaN
@@ -168,9 +187,10 @@ def compatible_cell_pairs(
         for cb, vb, rb in cells[i:]:
             d = float(np.linalg.norm(A - np.asarray(vb)))
             if d <= _res(ra) + r + _res(rb) + _SLACK:
-                out.append((ca, cb))
+                row = (ca, cb, d) if with_dist else (ca, cb)
+                out.append(row)
                 if ca != cb:
-                    out.append((cb, ca))
+                    out.append((cb, ca, d) if with_dist else (cb, ca))
     return out
 
 

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..operators.decontam_ann import (
     build_bench_cells,
     compatible_cell_pairs,
+    pair_radius,
     residual_to_cell,
 )
 from ..operators.dedup import cosine
@@ -89,41 +90,56 @@ def dedup_embedding_exact_pairs(spark, sf_dir):
     ]
     _, cells = build_bench_cells(sample_rows, k=_K)
     cent_rows = [(cid, cv) for cid, cv, _ in cells]
-    assigned = vecs.select(
-        "vec_id",
-        "v",
-        argmax_cell(F.col("v"), cent_rows).alias("cell"),
-    ).localCheckpoint(eager=False)
+    assigned = (
+        vecs.select(
+            "vec_id",
+            "v",
+            argmax_cell(F.col("v"), cent_rows).alias("cell"),
+        )
+        .withColumn(
+            "res",
+            residual_to_cell(F.col("v"), F.col("cell"), cent_rows),
+        )
+        .localCheckpoint(eager=False)
+    )
     maxres = {
         r[0]: r[1]
         for r in assigned.groupBy("cell")
-        .agg(
-            F.max(
-                residual_to_cell(F.col("v"), F.col("cell"), cent_rows)
-            ).alias("res")
-        )
+        .agg(F.max("res").alias("res"))
         .collect()
     }
     full_cells = [
         (cid, cv, float(maxres.get(cid, 0.0))) for cid, cv, _ in cells
     ]
     compat = spark.createDataFrame(
-        compatible_cell_pairs(full_cells, _TH), "ca long, cb long"
+        compatible_cell_pairs(full_cells, _TH, with_dist=True),
+        "ca long, cb long, dctr double",
     )
     a = assigned.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("v").alias("va"),
         F.col("cell").alias("ca"),
+        F.col("res").alias("res_a"),
     )
     b = assigned.select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("v").alias("vb"),
         F.col("cell").alias("cb"),
+        F.col("res").alias("res_b"),
     )
     return (
         a.join(F.broadcast(compat), "ca")
         .join(b, "cb")
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        # per-ROW tightening (lossless, operators/decontam_ann doc):
+        # each row's OWN residual replaces the cell max in the bound —
+        # one comparison per candidate, killed before the 64-dim cosine
+        .where(
+            F.col("dctr")
+            <= F.col("res_a")
+            + F.lit(pair_radius(_TH) + 1e-6)
+            + F.col("res_b")
+        )
         .withColumn(
             "cosine", F.round(cosine(F.col("va"), F.col("vb")), 6)
         )

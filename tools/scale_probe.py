@@ -595,7 +595,7 @@ def decontam_ann_probe(n_bench: int = 2000, n_corpus: int = 20000):
         timed(f"brute_gate(B={B:,})", brute, n_corpus)
 
 
-def exact_pairs_probe(n: int = 20000):
+def exact_pairs_probe(n: int = 20000, spread: float = 0.02):
     """Exact cosine-threshold pair join probe: clustered corpus (the
     regime the compatibility pruning exists for) at n and 2n vectors,
     threshold 0.9. All-pairs is n^2/2; the compatibility join is
@@ -615,9 +615,9 @@ def exact_pairs_probe(n: int = 20000):
     from go_nonrat_annotation_pipeline_spark.operators.decontam_ann import (
         build_bench_cells,
         compatible_cell_pairs,
+        pair_radius,
         residual_to_cell,
     )
-    from go_nonrat_annotation_pipeline_spark.operators.dedup import cosine
     from go_nonrat_annotation_pipeline_spark.operators.similarity import (
         argmax_cell,
     )
@@ -630,7 +630,7 @@ def exact_pairs_probe(n: int = 20000):
     for size in (n, 2 * n):
         vecs = []
         for i in range(size):
-            v = A[i % n_anchors] + 0.02 * rng.normal(size=dim)
+            v = A[i % n_anchors] + spread * rng.normal(size=dim)
             vecs.append((i, [float(x) for x in v / np.linalg.norm(v)]))
         sample = [v for v in vecs if v[0] % 97 == 0]
         _, cells = build_bench_cells(sample, k=n_anchors)
@@ -644,33 +644,32 @@ def exact_pairs_probe(n: int = 20000):
                 "cell",
                 argmax_cell(F.col("v"), cent_rows, assign_kernel=True),
             )
+            .withColumn(
+                "res",
+                residual_to_cell(F.col("v"), F.col("cell"), cent_rows),
+            )
             .localCheckpoint()
         )
         maxres = {
             r[0]: r[1]
             for r in df.groupBy("cell")
-            .agg(
-                F.max(
-                    residual_to_cell(
-                        F.col("v"), F.col("cell"), cent_rows
-                    )
-                ).alias("res")
-            )
+            .agg(F.max("res").alias("res"))
             .collect()
         }
         full = [
             (c, cv, float(maxres.get(c, 0.0))) for c, cv, _ in cells
         ]
         compat = spark.createDataFrame(
-            compatible_cell_pairs(full, th), "ca long, cb long"
+            compatible_cell_pairs(full, th, with_dist=True),
+            "ca long, cb long, dctr double",
         )
         a = df.select(
             F.col("vec_id").alias("ia"), F.col("v").alias("va"),
-            F.col("cell").alias("ca"),
+            F.col("cell").alias("ca"), F.col("res").alias("res_a"),
         )
         b = df.select(
             F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
-            F.col("cell").alias("cb"),
+            F.col("cell").alias("cb"), F.col("res").alias("res_b"),
         )
 
         from go_nonrat_annotation_pipeline_spark.operators.dedup import (
@@ -680,10 +679,18 @@ def exact_pairs_probe(n: int = 20000):
         cos_k = _cosine_kernel()
 
         def pairs():
-            cand = (
+            joined = (
                 a.join(F.broadcast(compat), "ca")
                 .join(b, "cb")
                 .where(F.col("ia") < F.col("ib"))
+            )
+            n_cell = joined.count()
+            # per-ROW tightening: each row's own residual in the bound
+            cand = joined.where(
+                F.col("dctr")
+                <= F.col("res_a")
+                + F.lit(pair_radius(th) + 1e-6)
+                + F.col("res_b")
             )
             n_cand = cand.count()
             out = (
@@ -695,9 +702,10 @@ def exact_pairs_probe(n: int = 20000):
             )
             allp = size * (size - 1) // 2
             print(
-                f"  n={size:,}: compat rows={compat.count()} "
-                f"candidates={n_cand:,} ({n_cand / allp:.1%} of "
-                f"all-pairs {allp:,}) true pairs={out:,}"
+                f"  n={size:,} spread={spread}: compat rows="
+                f"{compat.count()} cell-cand={n_cell:,} row-cand="
+                f"{n_cand:,} ({n_cand / allp:.1%} of all-pairs "
+                f"{allp:,}) true pairs={out:,}"
             )
             return out
 
@@ -706,7 +714,10 @@ def exact_pairs_probe(n: int = 20000):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "exact-pairs":
-        exact_pairs_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 20000)
+        exact_pairs_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 20000,
+            float(sys.argv[3]) if len(sys.argv) > 3 else 0.02,
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bitemporal":
         bitemporal_churn_probe(
