@@ -221,6 +221,12 @@ def probe_cells(
     """
     t_eff = max(-1.0, min(1.0, threshold - _SLACK))
     r = math.sqrt(max(0.0, 2.0 - 2.0 * t_eff))
+    if not cells:
+        # shared by BOTH paths: with zero cells the kernel would matmul
+        # against a zero-row centroid matrix and raise a shape error
+        # (ADVICE r11) — an empty probe list is the correct exact
+        # answer (no cell can hold a within-threshold neighbour)
+        return F.expr("array()").cast("array<bigint>")
     if kernel:
         from pyspark.sql.pandas.functions import pandas_udf
 
@@ -258,8 +264,6 @@ def probe_cells(
         thr = r + res + _SLACK
         smins.append(1.0 - thr * thr / 2.0)
         mats.append([float(x) for x in cv])
-    if not ids:
-        return F.expr("array()").cast("array<bigint>")
 
     C = F.expr("array(" + ",".join(_arr_sql(cv) for cv in mats) + ")")
     smin = F.expr(_arr_sql(smins))
@@ -281,3 +285,126 @@ def probe_cells(
     return F.transform(
         probed, lambda i: F.element_at(cid_arr, i).cast("bigint")
     )
+
+
+def train_sample(
+    df,
+    id_col: str,
+    vec_col: str,
+    target: int = 2000,
+) -> list[tuple[int, list[float]]]:
+    """Fixed-SIZE (not fixed-fraction) training sample for the cell
+    build — the collect is O(target) rows at ANY corpus size.
+
+    A constant-modulus hash gate (``crc32 % 4``) is a fixed FRACTION:
+    at 100x the corpus it collects 100x the rows to the driver — the
+    one scale-killer VERDICT r11 flagged. Here the modulus is derived
+    from one cheap count: ``crc32(id) % max(n DIV target, 1) = 0``
+    keeps the expected sample at ~``target`` rows forever. The gate
+    stays a crc32 HASH (never an id stride): a stride sharing a factor
+    with id-correlated cluster structure samples only a subset of
+    clusters (tests pin the hazard). Cell quality from the sample
+    affects pruning only, NEVER results — the ball bound is lossless
+    for any cells (module doc), so the sampling policy is value-neutral
+    by construction.
+    """
+    n = df.count()
+    if n == 0:
+        return []
+    mod = max(n // target, 1)
+    gate = f"crc32(CAST({id_col} AS STRING)) % {mod} = 0"
+    rows = [
+        (r[0], list(r[1]))
+        for r in df.where(gate).select(id_col, vec_col).collect()
+    ]
+    if not rows:
+        # astronomically unlikely for a uniform hash at n >= target,
+        # but a nonempty input must never train zero cells: fall back
+        # to a bounded LIMIT (order-nondeterminism is value-safe here —
+        # cells only steer pruning)
+        rows = [
+            (r[0], list(r[1]))
+            for r in df.select(id_col, vec_col).limit(target).collect()
+        ]
+    return rows
+
+
+def refine_hot_cells(
+    df,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    hot_cap: int,
+    k_sub: int = 8,
+    sub_target: int = 1000,
+    max_rounds: int = 2,
+    assign_kernel: bool = False,
+) -> list[tuple[int, list[float]]]:
+    """Drain saturated cells by recursive re-split — the semdedup
+    hot-cell pattern applied to the lossless cell table.
+
+    A compatibility cell with m members contributes O(m^2) candidate
+    pairs to the exact self-join; one saturated cell dominates the
+    whole candidate set (measured: 645M cell-level candidates at 40k
+    rows / spread 0.05, SCALE.md r11). Exactness is cell-AGNOSTIC
+    (the two-hop ball bound holds for any partition), so re-splitting
+    a hot cell is value-neutral: count members per cell, train k_sub
+    sub-cells on a capped hash-gate sample of each hot cell's members
+    (build_bench_cells, the same k-center + Lloyd build), replace the
+    hot centroid with its sub-centroids, renumber 1..K', and repeat up
+    to ``max_rounds``. Each round costs ONE count aggregate plus ONE
+    bounded collect (all hot cells sampled in a single pass via a
+    per-cell CASE modulus); the caller re-assigns and re-aggregates
+    residuals against the FINAL centroid list, which keeps assignment,
+    residuals and bound self-consistent.
+
+    Returns the refined ``cent_rows`` (contiguous 1-based ids).
+    """
+    from .similarity import argmax_cell
+
+    for _ in range(max_rounds):
+        if not cent_rows:
+            return cent_rows
+        assigned = df.select(
+            F.col(id_col).alias("_rid"),
+            F.col(vec_col).alias("_rv"),
+            argmax_cell(
+                F.col(vec_col), cent_rows, assign_kernel=assign_kernel
+            ).alias("_rcell"),
+        )
+        counts = {
+            r[0]: r[1]
+            for r in assigned.groupBy("_rcell").count().collect()
+        }
+        hot = sorted(
+            c for c, n in counts.items() if n > hot_cap
+        )
+        if not hot:
+            return cent_rows
+        # one pass collects every hot cell's sample: per-cell modulus
+        # folded into a CASE expression, crc32 gate as everywhere
+        mod_case = "CASE _rcell " + " ".join(
+            f"WHEN {c} THEN {max(counts[c] // sub_target, 1)}"
+            for c in hot
+        ) + " END"
+        samples: dict[int, list[tuple[int, list[float]]]] = {
+            c: [] for c in hot
+        }
+        for r in (
+            assigned.where(F.col("_rcell").isin([int(c) for c in hot]))
+            .where(f"crc32(CAST(_rid AS STRING)) % ({mod_case}) = 0")
+            .collect()
+        ):
+            samples[r["_rcell"]].append((r["_rid"], list(r["_rv"])))
+        by_id = dict(cent_rows)
+        new_cents: list[list[float]] = []
+        for cid, cv in cent_rows:
+            if cid in samples and samples[cid]:
+                _, sub = build_bench_cells(samples[cid], k=k_sub)
+                new_cents.extend([scv for _, scv, _ in sub])
+            else:
+                # keep cold cells (and a hot cell whose sample came
+                # back empty — cannot split what we cannot see)
+                new_cents.append(by_id[cid])
+        cent_rows = [(i + 1, cv) for i, cv in enumerate(new_cents)]
+    return cent_rows

@@ -9,17 +9,28 @@ pair with 6dp-rounded cosine >= t, zero false negatives, built from
 the round's ball-bound machinery (operators/decontam_ann.py) turned on
 a SELF-join:
 
-1. cells trained on a deterministic corpus SAMPLE (vec_id stride —
-   dictionary-sized collect, the production pattern; cell QUALITY only
-   affects speed, never the result set);
-2. every vector assigned map-side (similarity.argmax_cell, folded-in
+1. cells trained on a deterministic capped-SIZE corpus sample — a
+   crc32 hash gate whose modulus is derived from one cheap count
+   (``crc32(vec_id) % max(n DIV 2000, 1)``), so the driver collects
+   O(2k) rows at ANY corpus size, never a fixed fraction (the VERDICT
+   r11 scale finding); a hash gate, never an id stride, because a
+   stride aliases with id-correlated cluster structure (test-pinned).
+   Cell QUALITY only affects speed, never the result set;
+2. saturated cells drained by recursive re-split
+   (operators/decontam_ann.refine_hot_cells — the semdedup hot-cell
+   pattern): a cell with m members is O(m^2) candidate pairs, so any
+   cell over the cap is re-split into sub-cells trained on a capped
+   sample of its members; the bound is cell-agnostic, so draining is
+   value-neutral. At test SFs no cell reaches the cap and the plan is
+   byte-identical to the undrained shape;
+3. every vector assigned map-side (similarity.argmax_cell, folded-in
    centroids, no shuffle);
-3. per-cell max residual re-aggregated over the FULL population (the
+4. per-cell max residual re-aggregated over the FULL population (the
    sample's residuals would understate the bound) — k rows collected;
-4. compatible cell pairs by the two-hop triangle bound
+5. compatible cell pairs by the two-hop triangle bound
    d(u_ca, u_cb) <= res_ca + r + res_cb (k^2 driver-side, broadcast);
    incompatible cell pairs provably hold no qualifying pair;
-5. candidates = one cell-keyed equi-join through the compatibility
+6. candidates = one cell-keyed equi-join through the compatibility
    table; exact rounded cosine verified on candidates only.
 
 The oracle is therefore the brute-force all-pairs SQL. On clustered
@@ -27,8 +38,7 @@ corpora with tight thresholds the compatibility table is sparse and
 candidates collapse toward the true pair set; on the unclustered
 synthetic embeddings at t=0.4 most cell pairs stay compatible and the
 join honestly degrades toward all-pairs — same documented regime
-split as the decontamination gate, with the hot-cell caveat shared
-with semdedup (drain pattern applies if a cell saturates).
+split as the decontamination gate.
 """
 
 from __future__ import annotations
@@ -39,7 +49,9 @@ from ..operators.decontam_ann import (
     build_bench_cells,
     compatible_cell_pairs,
     pair_radius,
+    refine_hot_cells,
     residual_to_cell,
+    train_sample,
 )
 from ..operators.dedup import cosine
 from ..operators.similarity import _as_double, argmax_cell
@@ -50,12 +62,13 @@ from .shared_sql import cos_sql
 
 _TH = 0.4
 _K = 8
-# train sample = deterministic 1-in-4 HASH gate, never an id stride: a
-# stride that shares a factor with any id-correlated structure samples
-# only a subset of clusters (the test pins the aliasing hazard: stride
-# 3 over 12 id-mod clusters saw 4 of them). Bad cells stay CORRECT
-# (lossless bound) but stop pruning.
-_SAMPLE_GATE = "crc32(CAST(vec_id AS STRING)) % 4 = 0"
+# capped-size train collect: ~_TRAIN_TARGET rows at any corpus size
+# (operators/decontam_ann.train_sample — count-derived crc32 modulus)
+_TRAIN_TARGET = 2000
+# drain threshold: a cell holding > _HOT_CAP members (> ~8M within-cell
+# candidate pairs) is re-split before the join. Never reached at the
+# test SFs (2k embeddings at sf0.1) — the drain is the 100 TB path.
+_HOT_CAP = 4000
 
 
 @register(
@@ -73,9 +86,11 @@ _SAMPLE_GATE = "crc32(CAST(vec_id AS STRING)) % 4 = 0"
     WHERE cosine >= {_TH}
     """,
     doc="exact cosine-threshold near-dup self-join: cells from a "
-    "sampled train, map-side assignment, full-population residual "
-    "re-aggregation, then ONE cell-keyed equi-join through the "
-    "lossless compatibility table and exact re-rank — zero false "
+    "capped-size sampled train (count-derived hash-gate modulus, "
+    "O(2k) driver rows at any corpus size), hot cells drained by "
+    "recursive re-split, map-side assignment, full-population "
+    "residual re-aggregation, then ONE cell-keyed equi-join through "
+    "the lossless compatibility table and exact re-rank — zero false "
     "negatives by the two-hop ball bound, so the oracle is the "
     "brute-force all-pairs SQL",
 )
@@ -84,12 +99,22 @@ def dedup_embedding_exact_pairs(spark, sf_dir):
     vecs = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    sample_rows = [
-        (r[0], list(r[1]))
-        for r in vecs.where(_SAMPLE_GATE).collect()
-    ]
+    sample_rows = train_sample(vecs, "vec_id", "v", target=_TRAIN_TARGET)
     _, cells = build_bench_cells(sample_rows, k=_K)
-    cent_rows = [(cid, cv) for cid, cv, _ in cells]
+    if not cells:
+        # empty embeddings table: zero centroids would make the 1-based
+        # argmax descend through index 0 (ADVICE r11) — the exact
+        # answer is the empty pair set
+        return spark.createDataFrame(
+            [], "vec_id_a long, vec_id_b long, cosine double"
+        )
+    cent_rows = refine_hot_cells(
+        vecs,
+        "vec_id",
+        "v",
+        [(cid, cv) for cid, cv, _ in cells],
+        hot_cap=_HOT_CAP,
+    )
     assigned = (
         vecs.select(
             "vec_id",
@@ -109,7 +134,7 @@ def dedup_embedding_exact_pairs(spark, sf_dir):
         .collect()
     }
     full_cells = [
-        (cid, cv, float(maxres.get(cid, 0.0))) for cid, cv, _ in cells
+        (cid, cv, float(maxres.get(cid, 0.0))) for cid, cv in cent_rows
     ]
     compat = spark.createDataFrame(
         compatible_cell_pairs(full_cells, _TH, with_dist=True),

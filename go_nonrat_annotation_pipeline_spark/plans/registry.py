@@ -183,6 +183,46 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_semantic_decontam_ann_report, q_pivot_dynamic,
 #   stream_bitemporal_compacted, dedup_embedding_exact_pairs
 #
+# Round-12 rotation (WINDOW_R12 below, the r11-declared composition
+# verbatim): the 6 never-attested round-11 trailing additions, then
+# the 28 remaining r6-attested rows (text_ngram_topk ..
+# q_bpe_merges_batched, registry order), filled to 50 with the 16
+# stalest r7-attested rows (dedup_exact .. q_boilerplate_freq,
+# registry order). Carve-out compliance: the round's window-backing
+# fixes land IN this declaration commit — the three ADVICE r11 items
+# (exact-pairs docstring, empty-cells guard in the registered plan,
+# probe_cells kernel-path empty guard) plus the two VERDICT r11
+# prescriptions on the same modules (capped-SIZE training sample via
+# operators/decontam_ann.train_sample, VERDICT "What's wrong" #1; the
+# hot-cell drain refine_hot_cells, Next #3; the sample-trained bench
+# cells for the ANN gate, Next #7). All are value-neutral for the
+# registered results by the lossless-bound argument (cells steer
+# pruning, never results) — re-verified against the brute-force
+# oracles at sf0.001 and sf0.01 before declaration.
+#
+# Round-13 rotation (DECLARED NOW, bounded-staleness discipline —
+# VERDICT r11 Next #8): round-12 trailing additions (never-attested
+# first, registration order) lead WINDOW_R13, then the 34 remaining
+# r7-attested rows, namely
+#   q_boilerplate_strip, q_ann_recall, q_csv_roundtrip,
+#   q_dedup_recall, stream_dsir_score, q_shuffle_shards,
+#   corpus_build_e2e, q_lm_perplexity_bucket, q_oov_rate,
+#   q_mixture_drift_kl, q_pagerank_topk, dedup_simhash_hamming,
+#   mm_phash_neardup, q_hamming_cluster_sizes,
+#   q_incremental_agg_maintain, q_interval_overlap_join,
+#   stream_hamming_dedup, stream_incremental_agg, q_dupspan_mass,
+#   q_dupspan_strip, corpus_substring_e2e, q_pack_doc_spans,
+#   q_pack_sequences, q_mixture_temperature,
+#   q_mixture_temperature_sample, q_scd2_history, q_scd2_current,
+#   q_simjoin_pairs, q_simjoin_prune_stats,
+#   q_quality_percentile_by_source, q_quality_top_slice_per_source,
+#   q_curriculum_layout, stream_scd2_dimension, corpus_layout_e2e
+# (if trailing additions + 34 exceed 50, the r7 tail beyond the cut
+# rolls to WINDOW_R14 in the same order; if they undershoot, fill
+# with the stalest r8-attested rows in registry order). After r13
+# every registered query is again <= 5 rounds stale, and the r8 rows
+# become the drain target for r14.
+#
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
 # may snapshot at any time — (a) `bits >= 2` validation in
@@ -436,6 +476,65 @@ WINDOW_R11 = [
     "text_fingerprint",
 ]
 
+# WINDOW_R12 is the round-11-declared rotation, verbatim (ledger
+# above): 6 never-attested round-11 trailing additions, the 28
+# remaining r6-attested rows, the 16 stalest r7-attested rows.
+WINDOW_R12 = [
+    # -- round-11 trailing additions (6, registration order) --
+    "q_incremental_minmax_rescan_e2e",
+    "q_semantic_decontam_ann",
+    "q_semantic_decontam_ann_report",
+    "q_pivot_dynamic",
+    "stream_bitemporal_compacted",
+    "dedup_embedding_exact_pairs",
+    # -- the 28 remaining r6-attested rows (registry order) --
+    "text_ngram_topk",
+    "stream_interval_join",
+    "stream_dedup_keys",
+    "stream_synthetic_agg",
+    "stream_e2e_upsert",
+    "mm_binary_decode",
+    "mm_frame_sample",
+    "q_asof_attribution",
+    "q_percentile_disc",
+    "q_pivot_event_counts",
+    "q_json_extract",
+    "q_skew_salted_tokens",
+    "q_train_test_split",
+    "q_quota_sample",
+    "q_doc_chunking",
+    "q_global_topk",
+    "q_range_window_count",
+    "q_sequence_packing",
+    "q_mixture_weighted",
+    "q_chunk_dedup",
+    "q_jsonl_roundtrip",
+    "q_cluster_safe_split",
+    "q_contamination_13gram",
+    "q_rare_token_ratio",
+    "q_bpe_merges",
+    "q_bpe_token_freqs",
+    "q_pii_report",
+    "q_bpe_merges_batched",
+    # -- the 16 stalest r7-attested rows (registry order) --
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "stream_sliding_agg",
+    "q1_pricing_summary",
+    "sim_ivf_trained_kernel",
+    "dedup_clusters_minlabel",
+    "dedup_embedding_bucketed_kernel",
+    "mm_resize",
+    "q_cube_status_priority",
+    "q_scalar_subquery",
+    "q_multi_distinct",
+    "q_dsir_bucket_weights",
+    "q_dsir_scores",
+    "q_dsir_select",
+    "q_boilerplate_freq",
+]
+
 # A rotation edit that drops or duplicates a name would silently shift
 # which queries fall inside the attested first-50 window — assert shape
 # at import time, not just membership (ADVICE.md r5).
@@ -451,20 +550,27 @@ assert len(WINDOW_R11) == 50 == len(set(WINDOW_R11)), (
     f"WINDOW_R11 must be exactly 50 unique names, got "
     f"{len(WINDOW_R11)} / {len(set(WINDOW_R11))} unique"
 )
+assert len(WINDOW_R12) == 50 == len(set(WINDOW_R12)), (
+    f"WINDOW_R12 must be exactly 50 unique names, got "
+    f"{len(WINDOW_R12)} / {len(set(WINDOW_R12))} unique"
+)
 # The two halves of the rotation must not overlap with each other's
 # provenance claim: every R11 name is either a never-attested
 # round-9/10 trailing addition or an r6-stale row, never an R10 row.
 assert not set(WINDOW_R11) & set(WINDOW_R10), (
     "WINDOW_R11 must be disjoint from WINDOW_R10 (bounded staleness)"
 )
+assert not set(WINDOW_R12) & set(WINDOW_R11), (
+    "WINDOW_R12 must be disjoint from WINDOW_R11 (bounded staleness)"
+)
 
 
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry. Shared SQL fragments
     # live in shared_sql.py (never registers), so no module import drags
-    # another registering module in early. Output order: WINDOW_R11
+    # another registering module in early. Output order: WINDOW_R12
     # first, then every other registered query in module/definition
-    # order (the driver attests the first 50 = exactly WINDOW_R11).
+    # order (the driver attests the first 50 = exactly WINDOW_R12).
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,
@@ -609,9 +715,9 @@ def all_queries() -> dict[str, Q]:
         queries_dedup_exact_cells,
     )
 
-    missing = [n for n in WINDOW_R11 if n not in _REGISTRY]
+    missing = [n for n in WINDOW_R12 if n not in _REGISTRY]
     if missing:  # a rotation typo must fail loudly, not shrink the window
-        raise KeyError(f"WINDOW_R11 names not in registry: {missing}")
-    ordered = {n: _REGISTRY[n] for n in WINDOW_R11}
+        raise KeyError(f"WINDOW_R12 names not in registry: {missing}")
+    ordered = {n: _REGISTRY[n] for n in WINDOW_R12}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
