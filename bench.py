@@ -118,6 +118,8 @@ EXTENDED = [
     "q_pivot_dynamic",
     "stream_bitemporal_compacted",
     "dedup_embedding_exact_pairs",
+    # round 12 additions: candidate-aware drained exact pair join
+    "dedup_embedding_exact_pairs_drained",
 ]
 
 

@@ -713,6 +713,12 @@ def all_queries() -> dict[str, Q]:
         queries_pivot_dynamic,
         queries_streaming_btcompact,
         queries_dedup_exact_cells,
+        # round-12 additions (after WINDOW_R12; lead the round-13
+        # rotation per the ledger above)
+        queries_dedup_exact_cells2,
+        queries_streaming_btcompact2,
+        queries_semantic_decontam_ann2,
+        queries_streaming_semdecontam2,
     )
 
     missing = [n for n in WINDOW_R12 if n not in _REGISTRY]

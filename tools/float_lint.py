@@ -130,8 +130,11 @@ AUDITED = {
     # round 11: the exact-ANN twin re-ranks with the SAME rounded
     # cosine expression as its brute-force oracle
     ("q_semantic_decontam_ann", "cosine"): "rounded",
+    ("q_semantic_decontam_ann_kernel", "cosine"): "rounded",
+    ("stream_semantic_decontam_gate_ann", "cosine"): "rounded",
     ("q_semantic_decontam_ann_report", "max_hit_cosine"): "rounded",
     ("dedup_embedding_exact_pairs", "cosine"): "rounded",
+    ("dedup_embedding_exact_pairs_drained", "cosine"): "rounded",
 }
 
 

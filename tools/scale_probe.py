@@ -622,94 +622,124 @@ def exact_pairs_probe(n: int = 20000, spread: float = 0.02):
         argmax_cell,
     )
 
+    from go_nonrat_annotation_pipeline_spark.operators.decontam_ann import (
+        train_sample,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.decontam_drain import (
+        drain_saturated_cells,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        _cosine_kernel,
+    )
+
     dim, n_anchors, th = 64, 64, 0.9
     rng = np.random.default_rng(1102)
     A = rng.normal(size=(n_anchors, dim))
     A /= np.linalg.norm(A, axis=1, keepdims=True)
+    cos_k = _cosine_kernel()
 
     for size in (n, 2 * n):
         vecs = []
         for i in range(size):
             v = A[i % n_anchors] + spread * rng.normal(size=dim)
             vecs.append((i, [float(x) for x in v / np.linalg.norm(v)]))
-        sample = [v for v in vecs if v[0] % 97 == 0]
-        _, cells = build_bench_cells(sample, k=n_anchors)
-        cent_rows = [(cid, cv) for cid, cv, _ in cells]
-        df = (
-            spark.createDataFrame(
-                vecs, "vec_id long, v array<double>"
-            )
+        base = (
+            spark.createDataFrame(vecs, "vec_id long, v array<double>")
             .repartition(32)
-            .withColumn(
-                "cell",
-                argmax_cell(F.col("v"), cent_rows, assign_kernel=True),
-            )
-            .withColumn(
-                "res",
-                residual_to_cell(F.col("v"), F.col("cell"), cent_rows),
-            )
             .localCheckpoint()
         )
-        maxres = {
-            r[0]: r[1]
-            for r in df.groupBy("cell")
-            .agg(F.max("res").alias("res"))
-            .collect()
-        }
-        full = [
-            (c, cv, float(maxres.get(c, 0.0))) for c, cv, _ in cells
-        ]
-        compat = spark.createDataFrame(
-            compatible_cell_pairs(full, th, with_dist=True),
-            "ca long, cb long, dctr double",
+        # the registered query's sampling shape: capped-SIZE collect
+        # (count-derived crc32 modulus) — print the size so the 2x
+        # corpus shows a FLAT sample (VERDICT r11 Next #2 done-check)
+        sample = train_sample(base, "vec_id", "v", target=2000)
+        print(f"  n={size:,}: train sample={len(sample):,} rows (capped)")
+        _, cells = build_bench_cells(sample, k=n_anchors)
+        cents0 = [(cid, cv) for cid, cv, _ in cells]
+        # undrained vs candidate-load-drained cell tables (cap = the
+        # registered dedup_embedding_exact_pairs_drained 2M)
+        variants = [("undrained", cents0)]
+        refined = drain_saturated_cells(
+            base, "vec_id", "v", cents0, threshold=th,
+            cand_cap=2_000_000, k_sub=8, max_rounds=2,
+            assign_kernel=True,
         )
-        a = df.select(
-            F.col("vec_id").alias("ia"), F.col("v").alias("va"),
-            F.col("cell").alias("ca"), F.col("res").alias("res_a"),
-        )
-        b = df.select(
-            F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
-            F.col("cell").alias("cb"), F.col("res").alias("res_b"),
-        )
-
-        from go_nonrat_annotation_pipeline_spark.operators.dedup import (
-            _cosine_kernel,
-        )
-
-        cos_k = _cosine_kernel()
-
-        def pairs():
-            joined = (
-                a.join(F.broadcast(compat), "ca")
-                .join(b, "cb")
-                .where(F.col("ia") < F.col("ib"))
-            )
-            n_cell = joined.count()
-            # per-ROW tightening: each row's own residual in the bound
-            cand = joined.where(
-                F.col("dctr")
-                <= F.col("res_a")
-                + F.lit(pair_radius(th) + 1e-6)
-                + F.col("res_b")
-            )
-            n_cand = cand.count()
-            out = (
-                cand.withColumn(
-                    "c", F.round(cos_k(F.col("va"), F.col("vb")), 6)
+        if len(refined) != len(cents0):
+            variants.append((f"drained(k={len(refined)})", refined))
+        truth = {}
+        for tag, cent_rows in variants:
+            df = (
+                base.withColumn(
+                    "cell",
+                    argmax_cell(
+                        F.col("v"), cent_rows, assign_kernel=True
+                    ),
                 )
-                .where(F.col("c") >= th)
-                .count()
+                .withColumn(
+                    "res",
+                    residual_to_cell(
+                        F.col("v"), F.col("cell"), cent_rows
+                    ),
+                )
+                .localCheckpoint()
             )
-            allp = size * (size - 1) // 2
-            print(
-                f"  n={size:,} spread={spread}: compat rows="
-                f"{compat.count()} cell-cand={n_cell:,} row-cand="
-                f"{n_cand:,} ({n_cand / allp:.1%} of all-pairs "
-                f"{allp:,}) true pairs={out:,}"
+            maxres = {
+                r[0]: r[1]
+                for r in df.groupBy("cell")
+                .agg(F.max("res").alias("res"))
+                .collect()
+            }
+            full = [
+                (c, cv, float(maxres.get(c, 0.0)))
+                for c, cv in cent_rows
+            ]
+            compat = spark.createDataFrame(
+                compatible_cell_pairs(full, th, with_dist=True),
+                "ca long, cb long, dctr double",
             )
-            return out
+            a = df.select(
+                F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+                F.col("cell").alias("ca"), F.col("res").alias("res_a"),
+            )
+            b = df.select(
+                F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+                F.col("cell").alias("cb"), F.col("res").alias("res_b"),
+            )
 
-        timed(f"exact_pairs(n={size:,})", pairs, size)
+            def pairs(tag=tag, a=a, b=b, compat=compat):
+                joined = (
+                    a.join(F.broadcast(compat), "ca")
+                    .join(b, "cb")
+                    .where(F.col("ia") < F.col("ib"))
+                )
+                n_cell = joined.count()
+                # per-ROW tightening: row's own residual in the bound
+                cand = joined.where(
+                    F.col("dctr")
+                    <= F.col("res_a")
+                    + F.lit(pair_radius(th) + 1e-6)
+                    + F.col("res_b")
+                )
+                n_cand = cand.count()
+                out = (
+                    cand.withColumn(
+                        "c", F.round(cos_k(F.col("va"), F.col("vb")), 6)
+                    )
+                    .where(F.col("c") >= th)
+                    .count()
+                )
+                allp = size * (size - 1) // 2
+                print(
+                    f"  n={size:,} spread={spread} [{tag}]: compat "
+                    f"rows={compat.count()} cell-cand={n_cell:,} "
+                    f"row-cand={n_cand:,} ({n_cand / allp:.1%} of "
+                    f"all-pairs {allp:,}) true pairs={out:,}"
+                )
+                truth[tag] = out
+                return out
+
+            timed(f"exact_pairs(n={size:,},{tag})", pairs, size)
+        if len(truth) > 1 and len(set(truth.values())) != 1:
+            print(f"  !! RESULT MISMATCH across variants: {truth}")
 
 
 def main():
