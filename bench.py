@@ -118,8 +118,16 @@ EXTENDED = [
     "q_pivot_dynamic",
     "stream_bitemporal_compacted",
     "dedup_embedding_exact_pairs",
-    # round 12 additions: candidate-aware drained exact pair join
+    # round 12 additions: candidate-aware drained exact pair join,
+    # folded-store as-of, ANN gate twins (kernel + streaming), the
+    # exact near-dup E2E, KMV bottom-k Jaccard
     "dedup_embedding_exact_pairs_drained",
+    "stream_btcompact_asof",
+    "q_semantic_decontam_ann_kernel",
+    "stream_semantic_decontam_gate_ann",
+    "corpus_neardup_exact_e2e",
+    "q_kmv_jaccard",
+    "sim_knn_exact_cells",
 ]
 
 

@@ -719,6 +719,9 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_btcompact2,
         queries_semantic_decontam_ann2,
         queries_streaming_semdecontam2,
+        queries_neardup_exact_e2e,
+        queries_kmv_jaccard,
+        queries_knn_exact,
     )
 
     missing = [n for n in WINDOW_R12 if n not in _REGISTRY]

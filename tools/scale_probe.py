@@ -595,6 +595,157 @@ def decontam_ann_probe(n_bench: int = 2000, n_corpus: int = 20000):
         timed(f"brute_gate(B={B:,})", brute, n_corpus)
 
 
+def knn_exact_probe(n_bench: int = 2000, n_corpus: int = 20000):
+    """Exact top-k join probe: clustered bench at B and 10B items,
+    fixed corpus, k=5. Brute force pays N x B cosines + a window over
+    all of them; the two-pass cell-bounded exact kNN pays 2k centroid
+    dots + seeded/probed candidates per row — flat in B when the bench
+    clusters (candidates track occupancy near the row). Agreement is
+    asserted on counts + a sampled row set; the registered query's
+    oracle asserts it exactly at the test SFs."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.operators.decontam_ann import (
+        build_bench_cells,
+        residual_to_cell,
+        train_sample,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        _cosine_kernel,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.knn_exact import (
+        probe_cells_topk,
+        seed_cells,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.similarity import (
+        argmax_cell,
+    )
+
+    dim, n_anchors, topk = 64, 64, 5
+    rng = np.random.default_rng(1203)
+    A = rng.normal(size=(n_anchors, dim))
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    cos_k = _cosine_kernel()
+
+    def mk(n, clustered_frac):
+        out = []
+        for i in range(n):
+            if i < n * clustered_frac:
+                v = A[i % n_anchors] + 0.02 * rng.normal(size=dim)
+            else:
+                v = rng.normal(size=dim)
+            out.append([float(x) for x in v / np.linalg.norm(v)])
+        return out
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(mk(n_corpus, 0.5))],
+        "vec_id long, vc array<double>",
+    ).repartition(32).localCheckpoint()
+
+    for mult in (1, 10):
+        B = n_bench * mult
+        bdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(mk(B, 1.0))],
+            "bench_id long, vb array<double>",
+        ).repartition(32).localCheckpoint()
+        sample = train_sample(bdf, "bench_id", "vb", target=2000)
+        _, cells = build_bench_cells(sample, k=n_anchors)
+        cent_rows = [(cid, cv) for cid, cv, _ in cells]
+        bcells = (
+            bdf.withColumn(
+                "cell",
+                argmax_cell(F.col("vb"), cent_rows, assign_kernel=True),
+            )
+            .withColumn(
+                "res",
+                residual_to_cell(F.col("vb"), F.col("cell"), cent_rows),
+            )
+            .localCheckpoint()
+        )
+        stats = {
+            r[0]: (float(r[1]), int(r[2]))
+            for r in bcells.groupBy("cell")
+            .agg(F.max("res").alias("res"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        full = [(c, cv, stats.get(c, (0.0, 0))[0]) for c, cv in cent_rows]
+        occ = {c: stats.get(c, (0.0, 0))[1] for c, _ in cent_rows}
+        bc = bcells.select("cell", "bench_id", "vb")
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cosine"), F.asc("bench_id")
+        )
+
+        def knn():
+            seeded = (
+                corpus.select(
+                    "vec_id", "vc",
+                    F.explode(
+                        seed_cells(F.col("vc"), full, occ, topk)
+                    ).alias("cell"),
+                )
+                .join(F.broadcast(bc), "cell")
+                .withColumn(
+                    "cosine", F.round(cos_k(F.col("vc"), F.col("vb")), 6)
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.first("vc").alias("vc"),
+                    F.sort_array(F.collect_list("cosine")).alias("cs"),
+                )
+                .withColumn(
+                    "tx",
+                    F.when(
+                        F.size("cs") >= topk,
+                        F.element_at(
+                            F.col("cs"), F.size("cs") - topk + 1
+                        ),
+                    ).otherwise(F.lit(-1.0)),
+                )
+                .drop("cs")
+            )
+            cand = (
+                seeded.select(
+                    "vec_id", "vc", "tx",
+                    F.explode(
+                        probe_cells_topk(F.col("vc"), F.col("tx"), full)
+                    ).alias("cell"),
+                )
+                .join(F.broadcast(bc), "cell")
+                .withColumn(
+                    "cosine", F.round(cos_k(F.col("vc"), F.col("vb")), 6)
+                )
+            )
+            n_cand = cand.count()
+            out = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= topk)
+                .count()
+            )
+            print(
+                f"  B={B:,}: probed candidates={n_cand:,} "
+                f"({n_cand / (n_corpus * B):.2%} of NxB), "
+                f"topk rows={out:,}"
+            )
+            return out
+
+        def brute():
+            return (
+                corpus.crossJoin(F.broadcast(bdf))
+                .withColumn(
+                    "cosine", F.round(cos_k(F.col("vc"), F.col("vb")), 6)
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= topk)
+                .count()
+            )
+
+        timed(f"knn_exact(B={B:,})", knn, n_corpus)
+        timed(f"knn_brute(B={B:,})", brute, n_corpus)
+
+
 def exact_pairs_probe(n: int = 20000, spread: float = 0.02):
     """Exact cosine-threshold pair join probe: clustered corpus (the
     regime the compatibility pruning exists for) at n and 2n vectors,
@@ -763,6 +914,12 @@ def main():
         return
     if len(sys.argv) > 1 and sys.argv[1] == "decontam-ann":
         decontam_ann_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "knn-exact":
+        knn_exact_probe(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2000,
             int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
         )
