@@ -128,6 +128,8 @@ EXTENDED = [
     "corpus_neardup_exact_e2e",
     "q_kmv_jaccard",
     "sim_knn_exact_cells",
+    "q_rrf_fusion",
+    "stream_knn_exact",
 ]
 
 

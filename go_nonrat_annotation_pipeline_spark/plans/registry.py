@@ -722,6 +722,8 @@ def all_queries() -> dict[str, Q]:
         queries_neardup_exact_e2e,
         queries_kmv_jaccard,
         queries_knn_exact,
+        queries_rrf_fusion,
+        queries_streaming_knn,
     )
 
     missing = [n for n in WINDOW_R12 if n not in _REGISTRY]

@@ -132,6 +132,7 @@ AUDITED = {
     ("q_semantic_decontam_ann", "cosine"): "rounded",
     ("q_semantic_decontam_ann_kernel", "cosine"): "rounded",
     ("sim_knn_exact_cells", "cosine"): "rounded",
+    ("stream_knn_exact", "cosine"): "rounded",
     ("stream_semantic_decontam_gate_ann", "cosine"): "rounded",
     ("q_semantic_decontam_ann_report", "max_hit_cosine"): "rounded",
     ("dedup_embedding_exact_pairs", "cosine"): "rounded",
