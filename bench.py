@@ -130,6 +130,7 @@ EXTENDED = [
     "sim_knn_exact_cells",
     "q_rrf_fusion",
     "stream_knn_exact",
+    "dedup_exact_pairs_incremental",
 ]
 
 

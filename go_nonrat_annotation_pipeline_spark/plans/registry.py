@@ -724,6 +724,7 @@ def all_queries() -> dict[str, Q]:
         queries_knn_exact,
         queries_rrf_fusion,
         queries_streaming_knn,
+        queries_dedup_exact_incr,
     )
 
     missing = [n for n in WINDOW_R12 if n not in _REGISTRY]
