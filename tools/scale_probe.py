@@ -595,6 +595,143 @@ def decontam_ann_probe(n_bench: int = 2000, n_corpus: int = 20000):
         timed(f"brute_gate(B={B:,})", brute, n_corpus)
 
 
+def exact_pairs_incr_probe(n_old: int = 20000, n_new: int = 2000):
+    """Insert-only exact pair maintenance: cost of the DELTA (pairs
+    touching a new row) vs re-running the full self-join after the
+    ingest, clustered 64-anchor corpus at spread 0.02, threshold 0.9.
+    Delta work is (old+new) x new through the compat cells — linear in
+    the ingest, not in history; result identity asserted."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F811
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from go_nonrat_annotation_pipeline_spark.operators.decontam_ann import (
+        build_bench_cells,
+        compatible_cell_pairs,
+        pair_radius,
+        residual_to_cell,
+        train_sample,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.dedup import (
+        _cosine_kernel,
+    )
+    from go_nonrat_annotation_pipeline_spark.operators.similarity import (
+        argmax_cell,
+    )
+
+    dim, n_anchors, th = 64, 64, 0.9
+    rng = np.random.default_rng(1204)
+    A = rng.normal(size=(n_anchors, dim))
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    cos_k = _cosine_kernel()
+
+    def mk(lo, n):
+        out = []
+        for i in range(n):
+            v = A[(lo + i) % n_anchors] + 0.02 * rng.normal(size=dim)
+            out.append(
+                (lo + i, [float(x) for x in v / np.linalg.norm(v)])
+            )
+        return out
+
+    old = spark.createDataFrame(
+        mk(0, n_old), "vec_id long, v array<double>"
+    ).repartition(32).localCheckpoint()
+    new = spark.createDataFrame(
+        mk(n_old, n_new), "vec_id long, v array<double>"
+    ).repartition(8).localCheckpoint()
+    sample = train_sample(old, "vec_id", "v", target=2000)
+    _, cells = build_bench_cells(sample, k=n_anchors)
+    cent_rows = [(cid, cv) for cid, cv, _ in cells]
+
+    def assigned(df):
+        return (
+            df.withColumn(
+                "cell",
+                argmax_cell(F.col("v"), cent_rows, assign_kernel=True),
+            )
+            .withColumn(
+                "res",
+                residual_to_cell(F.col("v"), F.col("cell"), cent_rows),
+            )
+            .localCheckpoint()
+        )
+
+    a_old, a_new = assigned(old), assigned(new)
+
+    def maxres(df):
+        return {
+            r[0]: r[1]
+            for r in df.groupBy("cell")
+            .agg(F.max("res").alias("res"))
+            .collect()
+        }
+
+    res_all = maxres(a_old)
+    for c, r in maxres(a_new).items():
+        res_all[c] = max(res_all.get(c, 0.0), r)
+    full = [(c, cv, float(res_all.get(c, 0.0))) for c, cv in cent_rows]
+    compat = spark.createDataFrame(
+        compatible_cell_pairs(full, th, with_dist=True),
+        "ca long, cb long, dctr double",
+    )
+
+    def pairs(a, b):
+        left = a.select(
+            F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+            F.col("cell").alias("ca"), F.col("res").alias("res_a"),
+        )
+        right = b.select(
+            F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+            F.col("cell").alias("cb"), F.col("res").alias("res_b"),
+        )
+        return (
+            left.join(F.broadcast(compat), "ca")
+            .join(right, "cb")
+            .where(F.col("ia") < F.col("ib"))
+            .where(
+                F.col("dctr")
+                <= F.col("res_a")
+                + F.lit(pair_radius(th) + 1e-6)
+                + F.col("res_b")
+            )
+            .withColumn(
+                "c", F.round(cos_k(F.col("va"), F.col("vb")), 6)
+            )
+            .where(F.col("c") >= th)
+        )
+
+    a_all = a_old.unionByName(a_new).localCheckpoint()
+    counts = {}
+
+    def delta():
+        n = pairs(a_all, a_new).count() + pairs(a_new, a_old).count()
+        counts["delta"] = n
+        return n
+
+    def full_rejoin():
+        n = pairs(a_all, a_all).count()
+        counts["full"] = n
+        return n
+
+    def old_store():
+        n = pairs(a_old, a_old).count()
+        counts["old"] = n
+        return n
+
+    timed(f"incr_delta(new={n_new:,})", delta, n_new)
+    timed(f"full_rejoin(all={n_old + n_new:,})", full_rejoin, n_old + n_new)
+    timed(f"old_store(old={n_old:,})", old_store, n_old)
+    ok = counts["old"] + counts["delta"] == counts["full"]
+    print(
+        f"  identity: old({counts['old']:,}) + delta({counts['delta']:,}) "
+        f"== full({counts['full']:,}) -> {ok}"
+    )
+    if not ok:
+        print("  !! RESULT MISMATCH")
+
+
 def knn_exact_probe(n_bench: int = 2000, n_corpus: int = 20000):
     """Exact top-k join probe: clustered bench at B and 10B items,
     fixed corpus, k=5. Brute force pays N x B cosines + a window over
@@ -922,6 +1059,12 @@ def main():
         knn_exact_probe(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2000,
             int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "exact-pairs-incr":
+        exact_pairs_incr_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 20000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 2000,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivm":
