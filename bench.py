@@ -131,6 +131,7 @@ EXTENDED = [
     "q_rrf_fusion",
     "stream_knn_exact",
     "dedup_exact_pairs_incremental",
+    "q_mmr_rerank",
 ]
 
 

@@ -725,6 +725,7 @@ def all_queries() -> dict[str, Q]:
         queries_rrf_fusion,
         queries_streaming_knn,
         queries_dedup_exact_incr,
+        queries_mmr,
     )
 
     missing = [n for n in WINDOW_R12 if n not in _REGISTRY]
