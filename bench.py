@@ -132,6 +132,8 @@ EXTENDED = [
     "stream_knn_exact",
     "dedup_exact_pairs_incremental",
     "q_mmr_rerank",
+    "q_feature_corr",
+    "q_mutual_information",
 ]
 
 

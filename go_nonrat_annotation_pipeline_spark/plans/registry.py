@@ -726,6 +726,7 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_knn,
         queries_dedup_exact_incr,
         queries_mmr,
+        queries_stats_assoc,
     )
 
     missing = [n for n in WINDOW_R12 if n not in _REGISTRY]
