@@ -223,6 +223,16 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # every registered query is again <= 5 rounds stale, and the r8 rows
 # become the drain target for r14.
 #
+# Round-12 ledger — trailing additions in registration order (13; per
+# the declaration above these lead WINDOW_R13, followed by the first
+# 34 remaining r7-attested rows, filled to 50 with the stalest
+# r8-attested rows — 50 - 13 - 34 = 3 of them):
+#   dedup_embedding_exact_pairs_drained, stream_btcompact_asof,
+#   q_semantic_decontam_ann_kernel, stream_semantic_decontam_gate_ann,
+#   corpus_neardup_exact_e2e, q_kmv_jaccard, sim_knn_exact_cells,
+#   q_rrf_fusion, stream_knn_exact, dedup_exact_pairs_incremental,
+#   q_mmr_rerank, q_feature_corr, q_mutual_information
+#
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
 # may snapshot at any time — (a) `bits >= 2` validation in
