@@ -399,12 +399,20 @@ def refine_hot_cells(
         by_id = dict(cent_rows)
         new_cents: list[list[float]] = []
         for cid, cv in cent_rows:
-            if cid in samples and samples[cid]:
+            if cid in samples and len(samples[cid]) > 1:
                 _, sub = build_bench_cells(samples[cid], k=k_sub)
                 new_cents.extend([scv for _, scv, _ in sub])
             else:
                 # keep cold cells (and a hot cell whose sample came
-                # back empty — cannot split what we cannot see)
+                # back empty or single-point — splitting on one sampled
+                # member would REPLACE a trained centroid with that
+                # point; cannot usefully split what we cannot see)
                 new_cents.append(by_id[cid])
+        if len(new_cents) == len(cent_rows):
+            # every hot cell's sample was too thin to split further —
+            # no progress is possible, stop rather than loop (the
+            # drain_saturated_cells discipline; exactness is
+            # cell-agnostic either way)
+            return cent_rows
         cent_rows = [(i + 1, cv) for i, cv in enumerate(new_cents)]
     return cent_rows

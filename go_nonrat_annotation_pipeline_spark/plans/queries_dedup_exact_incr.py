@@ -52,7 +52,7 @@ _TRAIN_TARGET = 2000
 _NEW_GATE = "crc32(CAST(vec_id AS STRING)) % 3 = 0"
 
 
-def _pairs(spark, a, b, full_cells, extra=None):
+def _pairs(spark, a, b, full_cells):
     """Exact pairs between frames ``a`` and ``b`` (id_a < id_b) through
     the compatibility table, with the per-row residual tightening."""
     compat = spark.createDataFrame(
@@ -76,8 +76,6 @@ def _pairs(spark, a, b, full_cells, extra=None):
         .join(right, "cb")
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
     )
-    if extra is not None:
-        out = out.where(extra)
     return (
         out.where(
             F.col("dctr")

@@ -70,10 +70,13 @@ _H = SK.sql_hash60("CAST(user_id AS VARCHAR)")
              AS BIGINT) AS n_union_true
     )
     SELECT k_used, n_both,
-           CAST(n_both * 1000000 // k_used AS BIGINT) AS jaccard_est_ppm,
+           CASE WHEN k_used = 0 THEN NULL
+                ELSE CAST(n_both * 1000000 // k_used AS BIGINT)
+           END AS jaccard_est_ppm,
            n_inter_true, n_union_true,
-           CAST(n_inter_true * 1000000 // n_union_true AS BIGINT)
-             AS jaccard_true_ppm
+           CASE WHEN n_union_true = 0 THEN NULL
+                ELSE CAST(n_inter_true * 1000000 // n_union_true AS BIGINT)
+           END AS jaccard_true_ppm
     FROM sk, tru
     """,
     doc="KMV bottom-k Jaccard: two key sets compared through their "
@@ -128,13 +131,20 @@ def q_kmv_jaccard(spark, sf_dir):
     return (
         sk.crossJoin(F.broadcast(tru))
         .withColumn(
+            # empty-sketch guard (ADVICE r12): Spark DIV and DuckDB //
+            # need not agree on /0, so both engines emit NULL explicitly
             "jaccard_est_ppm",
-            F.expr("CAST(n_both * 1000000 DIV k_used AS BIGINT)"),
+            F.expr(
+                "CASE WHEN k_used = 0 THEN NULL"
+                " ELSE CAST(n_both * 1000000 DIV k_used AS BIGINT) END"
+            ),
         )
         .withColumn(
             "jaccard_true_ppm",
             F.expr(
-                "CAST(n_inter_true * 1000000 DIV n_union_true AS BIGINT)"
+                "CASE WHEN n_union_true = 0 THEN NULL"
+                " ELSE CAST(n_inter_true * 1000000 DIV n_union_true"
+                " AS BIGINT) END"
             ),
         )
         .select(

@@ -8,7 +8,8 @@ greedily pick argmax over the remaining pool of
 lambda * rel(d) - (1 - lambda) * max_{s in selected} sim(d, s).
 
 Spark-first shape: the candidate POOL is built distributively (top-P
-by cosine to the query vector, one window over the scored corpus);
+by cosine to the query vector via orderBy().limit — per-partition
+TakeOrdered heaps, never a single-partition corpus sort);
 the greedy loop then runs k bounded steps, each ONE map over the
 remaining pool (selected vectors folded in as literals, exactly the
 argmax_cell discipline) plus a 1-row TakeOrdered collect — at any
@@ -23,7 +24,7 @@ hash-exact. Deterministic tiebreak everywhere: score desc, doc id asc.
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from ..operators.dedup import cosine
 from ..operators.similarity import _as_double
@@ -116,13 +117,22 @@ def _sim_ppm(col, lit_arr):
 )
 def q_mmr_rerank(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
+    _SCHEMA = "sel_rank long, doc_id long, rel_ppm long, mmr_score_sppm long"
     qrow = (
         emb.where("vec_id = 0")
         .select(_as_double(F.col("embedding")).alias("v"))
         .collect()
     )
+    if not qrow:
+        # no query vector: every oracle CTE derives from mmr_q, so the
+        # oracle returns zero rows — mirror that instead of crashing on
+        # qrow[0][0] (ADVICE r12)
+        return spark.createDataFrame([], _SCHEMA)
     qsql = "array(" + ",".join(f"{float(x)!r}D" for x in qrow[0][0]) + ")"
-    wpool = Window.orderBy(F.desc("rel_ppm"), F.asc("doc_id"))
+    # pool = global top-P via orderBy().limit() — TakeOrderedAndProject
+    # keeps per-partition heaps; a bare row_number window with no
+    # partition would funnel the whole scored corpus through ONE task
+    # (operators/retrieval.py:164)
     pool = (
         emb.where("vec_id != 0")
         .select(
@@ -130,9 +140,8 @@ def q_mmr_rerank(spark, sf_dir):
             _as_double(F.col("embedding")).alias("v"),
         )
         .withColumn("rel_ppm", _sim_ppm(F.col("v"), F.expr(qsql)))
-        .withColumn("_rn", F.row_number().over(wpool))
-        .where(F.col("_rn") <= _POOL)
-        .drop("_rn")
+        .orderBy(F.desc("rel_ppm"), F.asc("doc_id"))
+        .limit(_POOL)
         .localCheckpoint()
     )
     selected: list[tuple[int, int, int, int]] = []  # rank, id, rel, score
@@ -169,7 +178,4 @@ def q_mmr_rerank(spark, sf_dir):
             "array(" + ",".join(f"{float(x)!r}D" for x in r.v) + ")"
         )
         remaining = remaining.where(F.col("doc_id") != int(r.doc_id))
-    return spark.createDataFrame(
-        selected,
-        "sel_rank long, doc_id long, rel_ppm long, mmr_score_sppm long",
-    )
+    return spark.createDataFrame(selected, _SCHEMA)

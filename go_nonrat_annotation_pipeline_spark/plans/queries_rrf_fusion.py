@@ -120,20 +120,38 @@ def q_rrf_fusion(spark, sf_dir):
         .select(_as_double(F.col("embedding")).alias("v"))
         .collect()
     )
-    qsql = "array(" + ",".join(f"{float(x)!r}D" for x in qrow[0][0]) + ")"
-    wsem = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
-    sem = (
-        emb.where("vec_id != 0")
-        .select(
+    if not qrow:
+        # no query vector: the oracle's qv CTE is empty, so its sem leg
+        # contributes nothing and fusion degrades to lex-only — mirror
+        # that with an empty sem frame instead of crashing (ADVICE r12)
+        sem = spark.createDataFrame([], "doc_id long, sem_rank long")
+    else:
+        qsql = (
+            "array(" + ",".join(f"{float(x)!r}D" for x in qrow[0][0]) + ")"
+        )
+        scored = emb.where("vec_id != 0").select(
             F.col("vec_id").alias("doc_id"),
             F.round(
                 cosine(_as_double(F.col("embedding")), F.expr(qsql)), 6
             ).alias("cosine"),
         )
-        .withColumn("sem_rank", F.row_number().over(wsem).cast("long"))
-        .where(F.col("sem_rank") <= _K)
-        .select("doc_id", "sem_rank")
-    )
+        # global top-K via orderBy().limit() — TakeOrderedAndProject
+        # keeps per-partition heaps (a bare row_number window with no
+        # partition would funnel the whole scored corpus through ONE
+        # task — operators/retrieval.py:164); rank over exactly K rows
+        topk = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_K)
+        # column-derived constant partition (always 0, survives
+        # constant folding): execution-identical for a K-row frame but
+        # keeps the single-partition WindowExec warning out of the logs
+        wsem = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+            F.desc("cosine"), F.asc("doc_id")
+        )
+        sem = (
+            topk.withColumn(
+                "sem_rank", F.row_number().over(wsem).cast("long")
+            )
+            .select("doc_id", "sem_rank")
+        )
     fused = (
         lex.join(sem, "doc_id", "full_outer")
         .withColumn(
@@ -148,11 +166,15 @@ def q_rrf_fusion(spark, sf_dir):
             ).cast("long"),
         )
     )
-    wf = Window.orderBy(F.desc("rrf_ppb"), F.asc("doc_id"))
+    # fused is at most 2K rows (two rank lists outer-joined), but keep
+    # the same limit-then-rank shape for the final cut anyway
+    top = fused.orderBy(F.desc("rrf_ppb"), F.asc("doc_id")).limit(_TOP)
+    wf = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("rrf_ppb"), F.asc("doc_id")
+    )
     return (
-        fused.withColumn(
+        top.withColumn(
             "fused_rank", F.row_number().over(wf).cast("long")
         )
-        .where(F.col("fused_rank") <= _TOP)
         .select("doc_id", "lex_rank", "sem_rank", "rrf_ppb", "fused_rank")
     )

@@ -233,6 +233,35 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_rrf_fusion, stream_knn_exact, dedup_exact_pairs_incremental,
 #   q_mmr_rerank, q_feature_corr, q_mutual_information
 #
+# Round-14 rotation (DECLARED NOW, bounded-staleness discipline —
+# VERDICT r12 Next #7): round-13 trailing additions (never-attested
+# first, registration order — see the round-13 ledger appended at the
+# end of this round) lead WINDOW_R14, filled to 50 with the stalest
+# r8-attested rows in registry order, namely (47 remain after the 3
+# drained by WINDOW_R13):
+#   dedup_embedding_cosine, sim_lsh_ann, sim_ivf_ann,
+#   sim_lsh_multitable, q_random_projection, q_rproj_kernel,
+#   q_rp_ann_recall, q_rp_rerank, q_incremental_join_maintain,
+#   q_delta_join_terms, stream_late_data_audit,
+#   q_entity_resolution_e2e, q_entity_blocking_stats, q_unicode_nfc,
+#   q_text_canonicalize, q_event_transitions, q_next_event_prediction,
+#   q_json_dead_letter_report, q_json_quarantine_rows,
+#   q_ffd_pack_assign, q_ffd_pack_stats, q_hilbert_layout,
+#   q_hilbert_locality, q_dedup_aware_sampling, q_dedup_aware_report,
+#   stream_hll_distinct, stream_json_quarantine,
+#   sim_knn_join_bucketed, q_length_bucketing,
+#   q_length_bucketing_gain, q_length_bucketing_sketch,
+#   corpus_pack_e2e, q_csv_dead_letter, q_budget_waterfill,
+#   q_budget_waterfill_audit, q_chunk_overlap, q_join_size_cms,
+#   stream_incremental_join, mm_aspect_bucketing,
+#   q_bbit_minhash_pairs, q_cohort_retention, q_cohort_sizes,
+#   q_erasure_plan, q_rfm_scores, q_rfm_segments, q_negative_samples,
+#   q_bootstrap_stats
+# (take the first 50 - len(r13 additions) of that list; the tail
+# beyond the cut rolls to WINDOW_R15 in the same order). After r14
+# the r8 drain is underway with every registered query <= 6 rounds
+# stale, fully drained by r15.
+#
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
 # may snapshot at any time — (a) `bits >= 2` validation in
@@ -545,6 +574,80 @@ WINDOW_R12 = [
     "q_boilerplate_freq",
 ]
 
+# WINDOW_R13 is the round-12-declared rotation, verbatim (ledger
+# above): the 13 never-attested round-12 trailing additions, the 34
+# remaining r7-attested rows, filled to 50 with the 3 stalest
+# r8-attested rows in registry order. Carve-out compliance: the
+# round's window-backing fixes land IN this declaration commit —
+# the two VERDICT r12 "What's wrong #1" items (corpus-sized
+# unpartitioned row_number() windows in queries_rrf_fusion.py and
+# queries_mmr.py replaced by the repo's own orderBy().limit(K) +
+# K-row-rank pattern, operators/retrieval.py:164-166 — value-neutral:
+# deterministic tiebreaks were already in place) plus the four ADVICE
+# r12 items (empty-qrow guards in queries_mmr.py / queries_rrf_fusion.py
+# mirroring each oracle's empty-query behavior; CASE WHEN zero-guard on
+# both engines' fixed-point divisions in queries_kmv_jaccard.py;
+# refine_hot_cells single-member-sample + no-progress early exit in
+# operators/decontam_ann.py matching drain_saturated_cells; dead
+# `extra` parameter removed from queries_dedup_exact_incr._pairs).
+# All re-verified against the oracles at sf0.001 and sf0.01 before
+# declaration.
+WINDOW_R13 = [
+    # -- round-12 trailing additions (13, registration order) --
+    "dedup_embedding_exact_pairs_drained",
+    "stream_btcompact_asof",
+    "q_semantic_decontam_ann_kernel",
+    "stream_semantic_decontam_gate_ann",
+    "corpus_neardup_exact_e2e",
+    "q_kmv_jaccard",
+    "sim_knn_exact_cells",
+    "q_rrf_fusion",
+    "stream_knn_exact",
+    "dedup_exact_pairs_incremental",
+    "q_mmr_rerank",
+    "q_feature_corr",
+    "q_mutual_information",
+    # -- the 34 remaining r7-attested rows (registry order) --
+    "q_boilerplate_strip",
+    "q_ann_recall",
+    "q_csv_roundtrip",
+    "q_dedup_recall",
+    "stream_dsir_score",
+    "q_shuffle_shards",
+    "corpus_build_e2e",
+    "q_lm_perplexity_bucket",
+    "q_oov_rate",
+    "q_mixture_drift_kl",
+    "q_pagerank_topk",
+    "dedup_simhash_hamming",
+    "mm_phash_neardup",
+    "q_hamming_cluster_sizes",
+    "q_incremental_agg_maintain",
+    "q_interval_overlap_join",
+    "stream_hamming_dedup",
+    "stream_incremental_agg",
+    "q_dupspan_mass",
+    "q_dupspan_strip",
+    "corpus_substring_e2e",
+    "q_pack_doc_spans",
+    "q_pack_sequences",
+    "q_mixture_temperature",
+    "q_mixture_temperature_sample",
+    "q_scd2_history",
+    "q_scd2_current",
+    "q_simjoin_pairs",
+    "q_simjoin_prune_stats",
+    "q_quality_percentile_by_source",
+    "q_quality_top_slice_per_source",
+    "q_curriculum_layout",
+    "stream_scd2_dimension",
+    "corpus_layout_e2e",
+    # -- the 3 stalest r8-attested rows (registry order) --
+    "corpus_clean_pipeline",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+]
+
 # A rotation edit that drops or duplicates a name would silently shift
 # which queries fall inside the attested first-50 window — assert shape
 # at import time, not just membership (ADVICE.md r5).
@@ -564,6 +667,10 @@ assert len(WINDOW_R12) == 50 == len(set(WINDOW_R12)), (
     f"WINDOW_R12 must be exactly 50 unique names, got "
     f"{len(WINDOW_R12)} / {len(set(WINDOW_R12))} unique"
 )
+assert len(WINDOW_R13) == 50 == len(set(WINDOW_R13)), (
+    f"WINDOW_R13 must be exactly 50 unique names, got "
+    f"{len(WINDOW_R13)} / {len(set(WINDOW_R13))} unique"
+)
 # The two halves of the rotation must not overlap with each other's
 # provenance claim: every R11 name is either a never-attested
 # round-9/10 trailing addition or an r6-stale row, never an R10 row.
@@ -573,14 +680,17 @@ assert not set(WINDOW_R11) & set(WINDOW_R10), (
 assert not set(WINDOW_R12) & set(WINDOW_R11), (
     "WINDOW_R12 must be disjoint from WINDOW_R11 (bounded staleness)"
 )
+assert not set(WINDOW_R13) & set(WINDOW_R12), (
+    "WINDOW_R13 must be disjoint from WINDOW_R12 (bounded staleness)"
+)
 
 
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry. Shared SQL fragments
     # live in shared_sql.py (never registers), so no module import drags
-    # another registering module in early. Output order: WINDOW_R12
+    # another registering module in early. Output order: WINDOW_R13
     # first, then every other registered query in module/definition
-    # order (the driver attests the first 50 = exactly WINDOW_R12).
+    # order (the driver attests the first 50 = exactly WINDOW_R13).
     from . import (  # noqa: F401
         queries_r4_fixes,
         queries_retrieval,
@@ -739,9 +849,9 @@ def all_queries() -> dict[str, Q]:
         queries_stats_assoc,
     )
 
-    missing = [n for n in WINDOW_R12 if n not in _REGISTRY]
+    missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
     if missing:  # a rotation typo must fail loudly, not shrink the window
-        raise KeyError(f"WINDOW_R12 names not in registry: {missing}")
-    ordered = {n: _REGISTRY[n] for n in WINDOW_R12}
+        raise KeyError(f"WINDOW_R13 names not in registry: {missing}")
+    ordered = {n: _REGISTRY[n] for n in WINDOW_R13}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
