@@ -3,6 +3,32 @@ JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS  (default: all cores).
+
+Record-integrity policy (round 13, VERDICT r12 What's wrong #2 and
+Next #3/#6):
+
+- CALIBRATION ROW: every record carries ``calibration`` — best-of-3
+  wall of a fixed synthetic CPU-bound job (constant-seeded 5M-row
+  hash sort, no repo data, no parquet). Cross-day absolute seconds on
+  this box scatter ±20-45% on byte-identical plans (SCALE.md drift
+  postscript); dividing any row by the record's own calibration
+  normalizes host speed and ends round-over-round relitigation.
+- SESSION ISOLATION: the extended set restarts the Spark session
+  every ``_RESTART_EVERY`` rows. r12's 85-row single-session sweep
+  accumulated JVM/session state that poisoned individual rows up to
+  3.7× (q_simjoin_pairs 25.0s recorded vs 7.8s fresh-session); with
+  periodic restarts each row's best-of-N is evidence-grade again.
+  (Headline set stays single-session — 20 rows never showed the
+  contamination, and its round-over-round comparability predates
+  this policy.)
+- EXTENDED BUDGET: the extended set grows ~13 rows/round and best-of-3
+  on every heavy E2E would dominate the round's bench wall by r15.
+  Budget rule: a row whose FIRST timed execution exceeds
+  ``_HEAVY_SECS`` gets one further rep (best-of-2); everything else
+  keeps best-of-3. Heavy rows are multi-second E2Es where ±noise is
+  proportionally small, so the lost third rep costs little evidence;
+  the per-round record stays within a bounded wall instead of growing
+  linearly with registry age.
 """
 
 from __future__ import annotations
@@ -137,6 +163,35 @@ EXTENDED = [
 ]
 
 
+# record-integrity knobs (header policy)
+_RESTART_EVERY = 20  # extended rows per Spark session
+_HEAVY_SECS = 6.0    # first-exec wall above this -> best-of-2
+
+
+def _calibration(spark) -> float:
+    """Best-of-3 wall of a fixed synthetic CPU-bound job: hash + sort
+    5M generated rows, sum the result. No repo data, no parquet, no
+    Python UDFs — a pure JVM constant that moves only with host speed,
+    so any per-query row can be read as (row / calibration) across
+    rounds measured on different days."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 5_000_000)
+            .select((F.col("id") * 2654435761 % 1000003).alias("k"))
+            .orderBy("k")
+            .agg(F.sum("k"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _loadavg() -> float | None:
     """1-minute load average — stamped on the record so a bench taken
     on a busy box is self-documenting (VERDICT r9: a loaded-box run
@@ -172,15 +227,34 @@ def main():
     # poisons both samples of a short map-side query.)
     load_start = _loadavg()
 
-    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
+    def run_set(
+        names: list[str], restart_every: int | None = None
+    ) -> tuple[dict[str, float], dict[str, str]]:
+        nonlocal spark
         timings: dict[str, float] = {}
         plans: dict[str, str] = {}
+        done = 0
         for name in names:
             q = registry.get(name)
             if q is None:
                 continue
-            best = float("inf")
-            for _ in range(3):
+            if restart_every and done and done % restart_every == 0:
+                # session isolation (header policy): a fresh session per
+                # _RESTART_EVERY rows keeps accumulated JVM/session state
+                # from poisoning individual rows (r12: 3.7× on one row)
+                spark.stop()
+                spark = get_spark("bench")
+                registry["q1_pricing_summary"].spark(
+                    spark, sf_dir
+                ).write.format("noop").mode("overwrite").save()
+            done += 1
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = time.perf_counter() - t0
+            # budget rule (header policy): heavy rows best-of-2
+            extra_reps = 1 if best > _HEAVY_SECS else 2
+            for _ in range(extra_reps):
                 t0 = time.perf_counter()
                 df = q.spark(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -200,8 +274,9 @@ def main():
             )
         return timings, plans
 
+    calibration = _calibration(spark)
     timings, plans = run_set(HEADLINE)
-    ext_timings, ext_plans = run_set(EXTENDED)
+    ext_timings, ext_plans = run_set(EXTENDED, restart_every=_RESTART_EVERY)
     plans.update(ext_plans)
 
     # self-reporting plan regressions: diff fingerprints against the most
@@ -265,6 +340,7 @@ def main():
         "queries": timings,
         "extended_queries": ext_timings,
         "sf": sf,
+        "calibration": calibration,
         "plan_fingerprints": plans,
         "fingerprint_diff": fingerprint_diff,
         "loadavg": {"start": load_start, "end": _loadavg()},
@@ -292,6 +368,7 @@ def main():
         "sf": sf,
         "extended_total": round(sum(ext_timings.values()), 3),
         "extended_n": len(ext_timings),
+        "calibration": calibration,
         "fingerprint_diff_n": len(fingerprint_diff),
         "load": [load_start, _loadavg()],
         "full": "bench_last.json",
