@@ -160,6 +160,9 @@ EXTENDED = [
     "q_mmr_rerank",
     "q_feature_corr",
     "q_mutual_information",
+    # round 13 additions: drain-firing twin (the refinement loop runs
+    # during the timed execution, unlike the 2M-cap row's no-op path)
+    "dedup_embedding_exact_pairs_drained_hot",
 ]
 
 

@@ -847,6 +847,9 @@ def all_queries() -> dict[str, Q]:
         queries_dedup_exact_incr,
         queries_mmr,
         queries_stats_assoc,
+        # round-13 additions (after WINDOW_R13; lead the round-14
+        # rotation per the ledger above)
+        queries_dedup_exact_cells3,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]

@@ -137,6 +137,7 @@ AUDITED = {
     ("q_semantic_decontam_ann_report", "max_hit_cosine"): "rounded",
     ("dedup_embedding_exact_pairs", "cosine"): "rounded",
     ("dedup_embedding_exact_pairs_drained", "cosine"): "rounded",
+    ("dedup_embedding_exact_pairs_drained_hot", "cosine"): "rounded",
     ("dedup_exact_pairs_incremental", "cosine"): "rounded",
 }
 
