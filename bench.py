@@ -161,8 +161,10 @@ EXTENDED = [
     "q_feature_corr",
     "q_mutual_information",
     # round 13 additions: drain-firing twin (the refinement loop runs
-    # during the timed execution, unlike the 2M-cap row's no-op path)
+    # during the timed execution, unlike the 2M-cap row's no-op path),
+    # batched multi-query MMR (distributed selected-set state)
     "dedup_embedding_exact_pairs_drained_hot",
+    "q_mmr_rerank_multi",
 ]
 
 

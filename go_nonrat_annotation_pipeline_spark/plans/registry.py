@@ -850,6 +850,7 @@ def all_queries() -> dict[str, Q]:
         # round-13 additions (after WINDOW_R13; lead the round-14
         # rotation per the ledger above)
         queries_dedup_exact_cells3,
+        queries_mmr_multi,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
