@@ -165,6 +165,7 @@ EXTENDED = [
     # batched multi-query MMR (distributed selected-set state)
     "dedup_embedding_exact_pairs_drained_hot",
     "q_mmr_rerank_multi",
+    "q_rrf_fusion_multi",
 ]
 
 

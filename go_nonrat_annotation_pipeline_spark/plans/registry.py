@@ -851,6 +851,7 @@ def all_queries() -> dict[str, Q]:
         # rotation per the ledger above)
         queries_dedup_exact_cells3,
         queries_mmr_multi,
+        queries_rrf_multi,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
