@@ -166,6 +166,7 @@ EXTENDED = [
     "dedup_embedding_exact_pairs_drained_hot",
     "q_mmr_rerank_multi",
     "q_rrf_fusion_multi",
+    "q_pareto_skyline",
 ]
 
 

@@ -852,6 +852,7 @@ def all_queries() -> dict[str, Q]:
         queries_dedup_exact_cells3,
         queries_mmr_multi,
         queries_rrf_multi,
+        queries_skyline,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
