@@ -167,6 +167,8 @@ EXTENDED = [
     "q_mmr_rerank_multi",
     "q_rrf_fusion_multi",
     "q_pareto_skyline",
+    "q_spearman_corr",
+    "q_chi_square",
 ]
 
 

@@ -853,6 +853,7 @@ def all_queries() -> dict[str, Q]:
         queries_mmr_multi,
         queries_rrf_multi,
         queries_skyline,
+        queries_stats_rank,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
