@@ -169,6 +169,8 @@ EXTENDED = [
     "q_pareto_skyline",
     "q_spearman_corr",
     "q_chi_square",
+    "q_hll_intersect",
+    "q_tfidf_cosine_pairs",
 ]
 
 

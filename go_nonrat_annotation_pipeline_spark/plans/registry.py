@@ -854,6 +854,8 @@ def all_queries() -> dict[str, Q]:
         queries_rrf_multi,
         queries_skyline,
         queries_stats_rank,
+        queries_hll_intersect,
+        queries_tfidf_pairs,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
