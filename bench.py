@@ -171,6 +171,8 @@ EXTENDED = [
     "q_chi_square",
     "q_hll_intersect",
     "q_tfidf_cosine_pairs",
+    "q_mad_outliers",
+    "q_trimmed_mean",
 ]
 
 

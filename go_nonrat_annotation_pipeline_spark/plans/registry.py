@@ -856,6 +856,7 @@ def all_queries() -> dict[str, Q]:
         queries_stats_rank,
         queries_hll_intersect,
         queries_tfidf_pairs,
+        queries_robust_stats,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]

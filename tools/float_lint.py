@@ -138,6 +138,7 @@ AUDITED = {
     ("dedup_embedding_exact_pairs", "cosine"): "rounded",
     ("dedup_embedding_exact_pairs_drained", "cosine"): "rounded",
     ("dedup_embedding_exact_pairs_drained_hot", "cosine"): "rounded",
+    ("q_mad_outliers", "med"): "passthrough",
     ("dedup_exact_pairs_incremental", "cosine"): "rounded",
 }
 
