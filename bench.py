@@ -173,6 +173,8 @@ EXTENDED = [
     "q_tfidf_cosine_pairs",
     "q_mad_outliers",
     "q_trimmed_mean",
+    "q_groupwise_ols",
+    "q_autocorr_daily",
 ]
 
 

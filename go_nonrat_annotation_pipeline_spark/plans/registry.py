@@ -857,6 +857,7 @@ def all_queries() -> dict[str, Q]:
         queries_hll_intersect,
         queries_tfidf_pairs,
         queries_robust_stats,
+        queries_regression,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
