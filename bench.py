@@ -175,6 +175,7 @@ EXTENDED = [
     "q_trimmed_mean",
     "q_groupwise_ols",
     "q_autocorr_daily",
+    "q_assoc_rules",
 ]
 
 

@@ -858,6 +858,7 @@ def all_queries() -> dict[str, Q]:
         queries_tfidf_pairs,
         queries_robust_stats,
         queries_regression,
+        queries_assoc_rules,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
