@@ -176,6 +176,7 @@ EXTENDED = [
     "q_groupwise_ols",
     "q_autocorr_daily",
     "q_assoc_rules",
+    "stream_pareto_skyline",
 ]
 
 

@@ -859,6 +859,7 @@ def all_queries() -> dict[str, Q]:
         queries_robust_stats,
         queries_regression,
         queries_assoc_rules,
+        queries_streaming_skyline,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
