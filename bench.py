@@ -177,6 +177,7 @@ EXTENDED = [
     "q_autocorr_daily",
     "q_assoc_rules",
     "stream_pareto_skyline",
+    "q_dbscan_clusters",
 ]
 
 
