@@ -178,6 +178,8 @@ EXTENDED = [
     "q_assoc_rules",
     "stream_pareto_skyline",
     "q_dbscan_clusters",
+    "q_gini_spend",
+    "q_shannon_entropy",
 ]
 
 

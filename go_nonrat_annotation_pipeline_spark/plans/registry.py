@@ -861,6 +861,7 @@ def all_queries() -> dict[str, Q]:
         queries_assoc_rules,
         queries_streaming_skyline,
         queries_dbscan,
+        queries_inequality,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
