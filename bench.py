@@ -180,6 +180,7 @@ EXTENDED = [
     "q_dbscan_clusters",
     "q_gini_spend",
     "q_shannon_entropy",
+    "q_zipf_slope",
 ]
 
 

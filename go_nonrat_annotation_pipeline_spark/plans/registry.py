@@ -862,6 +862,7 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_skyline,
         queries_dbscan,
         queries_inequality,
+        queries_zipf,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
