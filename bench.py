@@ -181,6 +181,8 @@ EXTENDED = [
     "q_gini_spend",
     "q_shannon_entropy",
     "q_zipf_slope",
+    "q_benford_digits",
+    "stream_assoc_rules",
 ]
 
 

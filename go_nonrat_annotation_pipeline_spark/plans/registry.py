@@ -863,6 +863,8 @@ def all_queries() -> dict[str, Q]:
         queries_dbscan,
         queries_inequality,
         queries_zipf,
+        queries_benford,
+        queries_streaming_assoc,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
