@@ -183,6 +183,9 @@ EXTENDED = [
     "q_zipf_slope",
     "q_benford_digits",
     "stream_assoc_rules",
+    "q_l_diversity",
+    "q_link_prediction",
+    "q3_shipping_priority",
 ]
 
 

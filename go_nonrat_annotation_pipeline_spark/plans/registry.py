@@ -865,6 +865,9 @@ def all_queries() -> dict[str, Q]:
         queries_zipf,
         queries_benford,
         queries_streaming_assoc,
+        queries_l_diversity,
+        queries_linkpred,
+        queries_tpch_q3,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
