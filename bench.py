@@ -186,6 +186,8 @@ EXTENDED = [
     "q_l_diversity",
     "q_link_prediction",
     "q3_shipping_priority",
+    "q_kaplan_meier",
+    "q_psi_drift",
 ]
 
 

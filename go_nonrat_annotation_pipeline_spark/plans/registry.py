@@ -868,6 +868,8 @@ def all_queries() -> dict[str, Q]:
         queries_l_diversity,
         queries_linkpred,
         queries_tpch_q3,
+        queries_survival,
+        queries_psi,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
