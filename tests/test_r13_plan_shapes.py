@@ -1,0 +1,99 @@
+"""Plan-shape pins for the round-13 additions: ranking goes through a
+RANGE exchange (never a global single-task rank window), top-k paths
+compile to TakeOrderedAndProject, retrieval batching partitions its
+windows by query_id, and nothing drops into row-at-a-time Python."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_spearman_ranks_via_range_exchange(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_stats_rank import (
+        q_spearman_corr,
+    )
+
+    plan = _plan(q_spearman_corr(spark, SF))
+    # value_rank2: repartitionByRange exchange present; windows are
+    # partitioned (pid / constant), so no corpus-sized global sort task
+    assert "rangepartitioning" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_zipf_top_terms_take_ordered(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_zipf import (
+        q_zipf_slope,
+    )
+
+    plan = _plan(q_zipf_slope(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_link_prediction_take_ordered_no_python(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_linkpred import (
+        q_link_prediction,
+    )
+
+    plan = _plan(q_link_prediction(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_rrf_multi_windows_partitioned_by_query(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_rrf_multi import (
+        q_rrf_fusion_multi,
+    )
+
+    df = q_rrf_fusion_multi(spark, SF)
+    plan = _plan(df)
+    # every window carries a partition spec (query_id or the K-row
+    # constant) — "windowspecdefinition(" never starts with an ORDER
+    # clause only. Cheap proxy: the plan's Window nodes all mention
+    # query_id or a modulo partition.
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the fused plan"
+    for s in specs:
+        # _qid is bm25_scores_multi's internal per-query partition key
+        assert "query_id" in s or "_qid" in s or "%" in s
+
+
+def test_skyline_phase1_bucket_partitioned(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_skyline import (
+        q_pareto_skyline,
+    )
+
+    plan = _plan(q_pareto_skyline(spark, SF))
+    # phase-1 windows hash-partition by the crc32 bucket
+    assert "hashpartitioning" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dbscan_pair_stage_broadcasts_compat(spark):
+    # the eps-graph stage (upstream of the checkpoint boundary) joins
+    # its dictionary-sized compat table by broadcast, Python-free
+    from go_nonrat_annotation_pipeline_spark.plans.queries_dbscan import (
+        _exact_pairs,
+    )
+
+    plan = _plan(_exact_pairs(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dbscan_downstream_no_python(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_dbscan import (
+        q_dbscan_clusters,
+    )
+
+    plan = _plan(q_dbscan_clusters(spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
