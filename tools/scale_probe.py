@@ -1030,7 +1030,110 @@ def exact_pairs_probe(n: int = 20000, spread: float = 0.02):
             print(f"  !! RESULT MISMATCH across variants: {truth}")
 
 
+def skyline_probe(n: int = 2_000_000, buckets: int = 64):
+    """Round-13 two-phase skyline at scale: n deterministic integer
+    points, (a) bucket-local pass -> global pass vs (b) the naive
+    single global-window pass (the anti-pattern), identical results
+    asserted, candidate-set collapse printed. Usage:
+        python tools/scale_probe.py skyline [n] [buckets]"""
+    from go_nonrat_annotation_pipeline_spark.plans.queries_skyline import (
+        _skyline_pass,
+    )
+
+    spark = get_spark("scale_probe")
+    pts = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64(F.col("id")) % 1_000_000).alias("x"),
+        (F.xxhash64(F.col("id"), F.lit(1)) % 1_000_000).alias("y"),
+    ).localCheckpoint()
+
+    t0 = time.perf_counter()
+    bucketed = pts.withColumn(
+        "_b", F.crc32(F.col("doc_id").cast("string")) % buckets
+    )
+    cand = _skyline_pass(bucketed, F.col("_b")).drop("_b").localCheckpoint()
+    n_cand = cand.count()
+    sky2 = _skyline_pass(cand, F.col("doc_id") % 1)
+    n_sky2 = sky2.count()
+    t_two = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sky1 = _skyline_pass(pts, F.col("doc_id") % 1)
+    n_sky1 = sky1.count()
+    t_one = time.perf_counter() - t0
+
+    assert n_sky1 == n_sky2, (n_sky1, n_sky2)
+    print(
+        f"skyline n={n} buckets={buckets}: candidates {n_cand} "
+        f"({100.0 * n_cand / n:.3f}% of corpus), skyline {n_sky2}; "
+        f"two-phase {t_two:.2f}s vs single-window {t_one:.2f}s "
+        f"({t_one / t_two:.2f}x)"
+    )
+
+
+def rank_probe(n: int = 5_000_000, buckets: int = 64):
+    """Round-13 distributed ranking at scale: value_rank2 (range
+    exchange + prefix offsets) vs the global RANK() window on a
+    duplicate-heavy column; identical rank tables asserted. Usage:
+        python tools/scale_probe.py rank [n] [buckets]"""
+    from pyspark.sql import Window
+
+    from go_nonrat_annotation_pipeline_spark.operators.ranking import (
+        value_rank2,
+    )
+
+    spark = get_spark("scale_probe")
+    df = spark.range(n).select(
+        (F.xxhash64(F.col("id")) % 100_000).alias("v")
+    ).localCheckpoint()
+
+    t0 = time.perf_counter()
+    ours = value_rank2(df, "v", buckets=buckets).localCheckpoint()
+    n_ours = ours.count()
+    t_ours = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    w_r = Window.orderBy("v")
+    w_t = Window.partitionBy("v")
+    theirs = (
+        df.withColumn("r", F.rank().over(w_r))
+        .withColumn("c", F.count(F.lit(1)).over(w_t))
+        .select(
+            "v",
+            F.col("c").alias("cnt"),
+            (F.lit(2) * F.col("r") + F.col("c") - F.lit(1))
+            .cast("long")
+            .alias("rank2"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_theirs = theirs.count()
+    t_theirs = time.perf_counter() - t0
+
+    diff = ours.exceptAll(theirs).count() + theirs.exceptAll(ours).count()
+    assert diff == 0 and n_ours == n_theirs, (diff, n_ours, n_theirs)
+    print(
+        f"rank n={n} distinct<=100k buckets={buckets}: "
+        f"range-partitioned {t_ours:.2f}s vs global window "
+        f"{t_theirs:.2f}s ({t_theirs / t_ours:.2f}x); "
+        f"{n_ours} rank rows identical"
+    )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "skyline":
+        skyline_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 64,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "rank":
+        rank_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 64,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "exact-pairs":
         exact_pairs_probe(
             int(sys.argv[2]) if len(sys.argv) > 2 else 20000,
