@@ -188,6 +188,7 @@ EXTENDED = [
     "q3_shipping_priority",
     "q_kaplan_meier",
     "q_psi_drift",
+    "q_lorenz_deciles",
 ]
 
 

@@ -262,10 +262,10 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the r8 drain is underway with every registered query <= 6 rounds
 # stale, fully drained by r15.
 #
-# Round-13 ledger — trailing additions in registration order (25; per
+# Round-13 ledger — trailing additions in registration order (per
 # the round-14 declaration above these lead WINDOW_R14, followed by
-# the first 50 - 25 = 25 stalest r8-attested rows from the list
-# above, i.e. dedup_embedding_cosine .. q_dedup_aware_report):
+# the stalest r8-attested rows from the list above, starting at
+# dedup_embedding_cosine, filling to 50):
 #   dedup_embedding_exact_pairs_drained_hot, q_mmr_rerank_multi,
 #   q_rrf_fusion_multi, q_pareto_skyline, q_spearman_corr,
 #   q_chi_square, q_hll_intersect, q_tfidf_cosine_pairs,
@@ -273,9 +273,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_assoc_rules, stream_pareto_skyline, q_dbscan_clusters,
 #   q_gini_spend, q_shannon_entropy, q_zipf_slope, q_benford_digits,
 #   stream_assoc_rules, q_l_diversity, q_link_prediction,
-#   q3_shipping_priority, q_kaplan_meier, q_psi_drift
-# (if further round-13 additions land after this ledger entry they
-# append to this list in registration order and the r8 fill shrinks
+#   q3_shipping_priority, q_kaplan_meier, q_psi_drift,
+#   q_lorenz_deciles
+# (26 total; the r8 fill is the first 50 - 26 = 24 rows of the list
+# above. If further round-13 additions land after this ledger entry
+# they append in registration order and the r8 fill shrinks
 # accordingly, same rule as every prior round).
 #
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
@@ -886,6 +888,7 @@ def all_queries() -> dict[str, Q]:
         queries_tpch_q3,
         queries_survival,
         queries_psi,
+        queries_lorenz,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
