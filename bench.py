@@ -189,6 +189,8 @@ EXTENDED = [
     "q_kaplan_meier",
     "q_psi_drift",
     "q_lorenz_deciles",
+    "q_cusum_changepoint",
+    "q_ks_test",
 ]
 
 

@@ -274,8 +274,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_gini_spend, q_shannon_entropy, q_zipf_slope, q_benford_digits,
 #   stream_assoc_rules, q_l_diversity, q_link_prediction,
 #   q3_shipping_priority, q_kaplan_meier, q_psi_drift,
-#   q_lorenz_deciles
-# (26 total; the r8 fill is the first 50 - 26 = 24 rows of the list
+#   q_lorenz_deciles, q_cusum_changepoint, q_ks_test
+# (28 total; the r8 fill is the first 50 - 28 = 22 rows of the list
 # above. If further round-13 additions land after this ledger entry
 # they append in registration order and the r8 fill shrinks
 # accordingly, same rule as every prior round).
@@ -889,6 +889,7 @@ def all_queries() -> dict[str, Q]:
         queries_survival,
         queries_psi,
         queries_lorenz,
+        queries_monitoring,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
