@@ -38,7 +38,7 @@ _TOP = 10
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2))))
                 * 10000 AS BIGINT) AS revenue_e4,
-           o_orderdate, o_orderpriority
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = '{_SEG}'
       AND c_custkey = o_custkey
@@ -79,7 +79,12 @@ def q3_shipping_priority(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((rev * 10000).cast("long").alias("revenue_e4"))
         .select(
-            "l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority"
+            "l_orderkey",
+            "revenue_e4",
+            # TIMESTAMP is a banned boundary type (float_lint) — ship
+            # the calendar date both engines agree on
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
         )
         .orderBy(
             F.desc("revenue_e4"), F.asc("o_orderdate"),
