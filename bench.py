@@ -191,6 +191,21 @@ EXTENDED = [
     "q_lorenz_deciles",
     "q_cusum_changepoint",
     "q_ks_test",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q7_volume_shipping",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    "q_mannwhitney_u",
+    "q_t_closeness",
+    "q_ewma_daily",
+    "q_burstiness_fano",
+    "q_event_trigrams",
+    "q_haar_coeffs",
+    "q_kcore_histogram",
 ]
 
 

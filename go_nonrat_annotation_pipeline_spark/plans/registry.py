@@ -274,8 +274,13 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_gini_spend, q_shannon_entropy, q_zipf_slope, q_benford_digits,
 #   stream_assoc_rules, q_l_diversity, q_link_prediction,
 #   q3_shipping_priority, q_kaplan_meier, q_psi_drift,
-#   q_lorenz_deciles, q_cusum_changepoint, q_ks_test
-# (28 total; the r8 fill is the first 50 - 28 = 22 rows of the list
+#   q_lorenz_deciles, q_cusum_changepoint, q_ks_test,
+#   q4_order_priority, q10_returned_items, q12_priority_shipping,
+#   q14_promo_effect, q7_volume_shipping, q18_large_volume_customer,
+#   q19_disjunctive_revenue, q22_sales_opportunity, q_mannwhitney_u,
+#   q_t_closeness, q_ewma_daily, q_burstiness_fano, q_event_trigrams,
+#   q_haar_coeffs, q_kcore_histogram
+# (43 total; the r8 fill is the first 50 - 43 = 7 rows of the list
 # above. If further round-13 additions land after this ledger entry
 # they append in registration order and the r8 fill shrinks
 # accordingly, same rule as every prior round).
@@ -890,6 +895,12 @@ def all_queries() -> dict[str, Q]:
         queries_psi,
         queries_lorenz,
         queries_monitoring,
+        queries_tpch_suite,
+        queries_tpch_suite2,
+        queries_privacy2,
+        queries_timeseries2,
+        queries_sequences2,
+        queries_kcore,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]
