@@ -1124,7 +1124,71 @@ def rank_probe(n: int = 5_000_000, buckets: int = 64):
     )
 
 
+def kcore_probe(m_edges: int = 2_000_000, k: int = 6):
+    """Round-13 k-core peeling at scale: a deterministic hash random
+    graph with m edges over m/3 nodes (avg degree ~6, so k=6 peels a
+    meaningful fraction per round). Evidence: per-round surviving edge
+    counts (the cost driver — each round is one degree aggregate + two
+    semi joins over SURVIVORS, so round cost tracks this shrinking
+    count, not the input size) and the until_fixpoint early-exit
+    round. Usage:
+        python tools/scale_probe.py kcore [m_edges] [k]"""
+    from go_nonrat_annotation_pipeline_spark.operators.kcore import (
+        _degrees,
+        k_core_peel,
+    )
+
+    spark = get_spark("scale_probe")
+    # avg degree 2m/n = 12: comfortably above the Poisson k-core
+    # emergence threshold for k=6, so a large core SURVIVES and the
+    # probe exercises both the mass-peel rounds and the fixpoint.
+    # pmod, not %: Spark % keeps xxhash64's sign, which would silently
+    # double the node domain and halve the density.
+    n_nodes = max(m_edges // 6, 10)
+    raw = spark.range(m_edges).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_nodes)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_nodes)).alias("y"),
+    )
+    edges = (
+        raw.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m0 = edges.count()
+
+    cur = edges
+    sizes, times = [m0], []
+    for r in range(6):
+        t0 = time.perf_counter()
+        nxt = k_core_peel(cur, k, rounds=1).localCheckpoint()
+        m_r = nxt.count()
+        times.append(time.perf_counter() - t0)
+        sizes.append(m_r)
+        if m_r == sizes[-2]:
+            break
+        cur = nxt
+    # fixpoint check: every survivor has degree >= k
+    bad = _degrees(cur).where(F.col("deg") < k).count()
+    per_round = ", ".join(
+        f"r{i + 1}:{s} ({t:.2f}s)" for i, (s, t) in enumerate(zip(sizes[1:], times))
+    )
+    print(
+        f"kcore m={m0} nodes~{n_nodes} k={k}: {per_round}; "
+        f"converged={'yes' if sizes[-1] == sizes[-2] else 'no'} "
+        f"violations={bad}"
+    )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "kcore":
+        kcore_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 6,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "skyline":
         skyline_probe(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
