@@ -206,6 +206,7 @@ EXTENDED = [
     "q_event_trigrams",
     "q_haar_coeffs",
     "q_kcore_histogram",
+    "stream_ewma_daily",
 ]
 
 
