@@ -207,6 +207,9 @@ EXTENDED = [
     "q_haar_coeffs",
     "q_kcore_histogram",
     "stream_ewma_daily",
+    "q_funnel_within",
+    "q_equidepth_bins",
+    "q_mode_per_group",
 ]
 
 

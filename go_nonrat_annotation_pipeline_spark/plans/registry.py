@@ -279,8 +279,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q14_promo_effect, q7_volume_shipping, q18_large_volume_customer,
 #   q19_disjunctive_revenue, q22_sales_opportunity, q_mannwhitney_u,
 #   q_t_closeness, q_ewma_daily, q_burstiness_fano, q_event_trigrams,
-#   q_haar_coeffs, q_kcore_histogram, stream_ewma_daily
-# (44 total; the r8 fill is the first 50 - 44 = 6 rows of the list
+#   q_haar_coeffs, q_kcore_histogram, stream_ewma_daily,
+#   q_funnel_within, q_equidepth_bins, q_mode_per_group
+# (47 total; the r8 fill is the first 50 - 47 = 3 rows of the list
 # above. If further round-13 additions land after this ledger entry
 # they append in registration order and the r8 fill shrinks
 # accordingly, same rule as every prior round).
@@ -902,6 +903,7 @@ def all_queries() -> dict[str, Q]:
         queries_sequences2,
         queries_kcore,
         queries_streaming_ewma,
+        queries_analytics2,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]

@@ -188,6 +188,44 @@ def test_trigram_lead_windows_partitioned_by_user(spark):
     assert "EvalPython" not in plan
 
 
+def test_funnel_within_window_partitioned_no_self_join(spark):
+    import re
+
+    from go_nonrat_annotation_pipeline_spark.plans.queries_analytics2 import (
+        q_funnel_within,
+    )
+
+    plan = _plan(q_funnel_within(spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("user_id" in s for s in specs)
+    # the timed funnel must NOT be a view x purchase self-join
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_equidepth_bins_via_range_exchange(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_analytics2 import (
+        q_equidepth_bins,
+    )
+
+    plan = _plan(q_equidepth_bins(spark, SF))
+    # boundaries read off the value_rank2 rank table — range exchange
+    # present, no corpus-sized global sort
+    assert "rangepartitioning" in plan
+    assert "EvalPython" not in plan
+
+
+def test_mode_no_window_broadcast_argmax(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_analytics2 import (
+        q_mode_per_group,
+    )
+
+    plan = _plan(q_mode_per_group(spark, SF))
+    assert ") Window\n" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
 def test_haar_single_aggregate_no_window(spark):
     from go_nonrat_annotation_pipeline_spark.plans.queries_sequences2 import (
         q_haar_coeffs,
