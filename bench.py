@@ -210,6 +210,7 @@ EXTENDED = [
     "q_funnel_within",
     "q_equidepth_bins",
     "q_mode_per_group",
+    "q_hard_negatives",
 ]
 
 

@@ -226,6 +226,22 @@ def test_mode_no_window_broadcast_argmax(spark):
     assert "EvalPython" not in plan
 
 
+def test_hard_negatives_bucket_join_partitioned_window(spark):
+    import re
+
+    from go_nonrat_annotation_pipeline_spark.plans.queries_hardneg import (
+        q_hard_negatives,
+    )
+
+    plan = _plan(q_hard_negatives(spark, SF))
+    # candidates come from the bucket equi-join (hash join on bucket/d),
+    # the top-k window partitions by the anchor id, no Python nodes
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("_a" in s for s in specs)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_haar_single_aggregate_no_window(spark):
     from go_nonrat_annotation_pipeline_spark.plans.queries_sequences2 import (
         q_haar_coeffs,
