@@ -211,6 +211,8 @@ EXTENDED = [
     "q_equidepth_bins",
     "q_mode_per_group",
     "q_hard_negatives",
+    "q_bounce_rate",
+    "q_source_jaccard",
 ]
 
 

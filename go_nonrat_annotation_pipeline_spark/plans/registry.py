@@ -281,8 +281,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   q_t_closeness, q_ewma_daily, q_burstiness_fano, q_event_trigrams,
 #   q_haar_coeffs, q_kcore_histogram, stream_ewma_daily,
 #   q_funnel_within, q_equidepth_bins, q_mode_per_group,
-#   q_hard_negatives
-# (48 total; the r8 fill is the first 50 - 48 = 2 rows of the list
+#   q_hard_negatives, q_bounce_rate, q_source_jaccard
+# (50 total; the r8 fill is the first 50 - 50 = 0 rows of the list
 # above. If further round-13 additions land after this ledger entry
 # they append in registration order and the r8 fill shrinks
 # accordingly, same rule as every prior round).
@@ -906,6 +906,8 @@ def all_queries() -> dict[str, Q]:
         queries_streaming_ewma,
         queries_analytics2,
         queries_hardneg,
+        queries_sessions2,
+        queries_srcsim,
     )
 
     missing = [n for n in WINDOW_R13 if n not in _REGISTRY]

@@ -242,6 +242,33 @@ def test_hard_negatives_bucket_join_partitioned_window(spark):
     assert "EvalPython" not in plan
 
 
+def test_bounce_rate_windows_partitioned_by_user(spark):
+    import re
+
+    from go_nonrat_annotation_pipeline_spark.plans.queries_sessions2 import (
+        q_bounce_rate,
+    )
+
+    plan = _plan(q_bounce_rate(spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("user_id" in s for s in specs)
+    assert "EvalPython" not in plan
+
+
+def test_source_jaccard_postings_join_sizes_broadcast(spark):
+    from go_nonrat_annotation_pipeline_spark.plans.queries_srcsim import (
+        q_source_jaccard,
+    )
+
+    plan = _plan(q_source_jaccard(spark, SF))
+    # intersections come from the bigram-key equi-join; the per-source
+    # size table broadcasts; top-20 is a heap
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_haar_single_aggregate_no_window(spark):
     from go_nonrat_annotation_pipeline_spark.plans.queries_sequences2 import (
         q_haar_coeffs,
