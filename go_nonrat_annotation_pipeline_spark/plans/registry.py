@@ -287,6 +287,19 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # they append in registration order and the r8 fill shrinks
 # accordingly, same rule as every prior round).
 #
+# END-OF-ROUND-13 CONFIRMATION: the trailing additions landed at
+# EXACTLY 50, so WINDOW_R14 is the 50 round-13 additions verbatim and
+# the r8 drain (47 rows, dedup_embedding_cosine .. q_bootstrap_stats
+# in the round-14 declaration above) rolls INTACT to WINDOW_R15 —
+# registered additions were deliberately capped here for that reason
+# (a 51st would have pushed a never-attested round-13 row to r15 as
+# well). Consequence for the bounded-staleness ledger: the r8 rows
+# reach 7-rounds stale at r15 instead of the declared 6 at r14; all
+# 47 were sweep-verified at sf0.01 this round on byte-identical
+# modules, and WINDOW_R15 MUST lead with them (before any round-14
+# additions) to drain the backlog in one window (47 + 3 slots for
+# the stalest r9 rows).
+#
 # Round-9 deferrals (freeze rule): two ADVICE r8 items land in
 # round 10 because their modules back WINDOW_R9 rows and the driver
 # may snapshot at any time — (a) `bits >= 2` validation in
