@@ -722,6 +722,73 @@ assert not set(WINDOW_R13) & set(WINDOW_R12), (
     "WINDOW_R13 must be disjoint from WINDOW_R12 (bounded staleness)"
 )
 
+# DECLARED for round 14 — NOT yet used by all_queries(): the driver's
+# round-13 snapshot must still see WINDOW_R13 first. The round-14
+# declaration commit activates this list (swap the name in
+# all_queries' ordering). Materialized as DATA now because the
+# round-13 ledger closed at exactly 50 trailing additions, so the
+# entire next window is known and a transcription error next round
+# would silently attest the wrong rows; all_queries() cross-checks
+# this list against the registry's actual trailing 50 at import.
+WINDOW_R14_DECLARED = [
+    "dedup_embedding_exact_pairs_drained_hot",
+    "q_mmr_rerank_multi",
+    "q_rrf_fusion_multi",
+    "q_pareto_skyline",
+    "q_spearman_corr",
+    "q_chi_square",
+    "q_hll_intersect",
+    "q_tfidf_cosine_pairs",
+    "q_mad_outliers",
+    "q_trimmed_mean",
+    "q_groupwise_ols",
+    "q_autocorr_daily",
+    "q_assoc_rules",
+    "stream_pareto_skyline",
+    "q_dbscan_clusters",
+    "q_gini_spend",
+    "q_shannon_entropy",
+    "q_zipf_slope",
+    "q_benford_digits",
+    "stream_assoc_rules",
+    "q_l_diversity",
+    "q_link_prediction",
+    "q3_shipping_priority",
+    "q_kaplan_meier",
+    "q_psi_drift",
+    "q_lorenz_deciles",
+    "q_cusum_changepoint",
+    "q_ks_test",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q7_volume_shipping",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    "q_mannwhitney_u",
+    "q_t_closeness",
+    "q_ewma_daily",
+    "q_burstiness_fano",
+    "q_event_trigrams",
+    "q_haar_coeffs",
+    "q_kcore_histogram",
+    "stream_ewma_daily",
+    "q_funnel_within",
+    "q_equidepth_bins",
+    "q_mode_per_group",
+    "q_hard_negatives",
+    "q_bounce_rate",
+    "q_source_jaccard",
+]
+assert len(WINDOW_R14_DECLARED) == 50 == len(set(WINDOW_R14_DECLARED)), (
+    "WINDOW_R14_DECLARED must be exactly 50 unique names"
+)
+assert not set(WINDOW_R14_DECLARED) & set(WINDOW_R13), (
+    "WINDOW_R14_DECLARED must be disjoint from WINDOW_R13"
+)
+
 
 def all_queries() -> dict[str, Q]:
     # Import side-effect populates the registry. Shared SQL fragments
@@ -928,4 +995,13 @@ def all_queries() -> dict[str, Q]:
         raise KeyError(f"WINDOW_R13 names not in registry: {missing}")
     ordered = {n: _REGISTRY[n] for n in WINDOW_R13}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    # the declared round-14 window must be EXACTLY the registry's
+    # trailing 50 (the round-13 additions in registration order) — a
+    # drifted declaration would attest the wrong rows next round
+    tail = list(ordered)[-50:]
+    if tail != WINDOW_R14_DECLARED:
+        raise AssertionError(
+            "WINDOW_R14_DECLARED drifted from the registry's trailing "
+            f"50: first mismatch at {next(i for i, (a, b) in enumerate(zip(tail, WINDOW_R14_DECLARED)) if a != b)}"
+        )
     return ordered
