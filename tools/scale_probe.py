@@ -1182,7 +1182,128 @@ def kcore_probe(m_edges: int = 2_000_000, k: int = 6):
     )
 
 
+def funnel_probe(n: int = 5_000_000, users: int = 50_000):
+    """Round-13 timed-funnel shapes at scale: the q_funnel_within
+    conditional-MIN window (one pass per user stream) vs the naive
+    view x purchase per-user self-join + min aggregate. Identical
+    (n_views, n_converted, sum_latency) asserted. Per-user activity
+    n/users controls the join's quadratic term — at 100 events/user
+    the join materializes ~2500 pairs/user where the window touches
+    each event once. Usage:
+        python tools/scale_probe.py funnel [n] [users]"""
+    from pyspark.sql import Window
+
+    spark = get_spark("scale_probe")
+    within = 3_600_000_000
+    ev = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(users)).alias("u"),
+        F.col("id").alias("eid"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(10**13)).alias(
+            "ts_us"
+        ),
+        F.when(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(5)) == 0,
+            "view",
+        )
+        .when(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(5)) == 1,
+            "purchase",
+        )
+        .otherwise("other")
+        .alias("et"),
+    ).localCheckpoint()
+
+    def summarize(vw):
+        return vw.agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum("conv").alias("n_conv"),
+            F.sum(
+                F.when(F.col("conv") == 1, F.col("nb") - F.col("ts_us"))
+            ).alias("lat"),
+        ).collect()[0]
+
+    t0 = time.perf_counter()
+    w = (
+        Window.partitionBy("u")
+        .orderBy(F.desc("ts_us"), F.desc("eid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    win = (
+        ev.withColumn(
+            "nb",
+            F.min(F.when(F.col("et") == "purchase", F.col("ts_us"))).over(
+                w
+            ),
+        )
+        .where(F.col("et") == "view")
+        .withColumn(
+            "conv",
+            F.when(
+                F.col("nb").isNotNull()
+                & (F.col("nb") - F.col("ts_us") <= within),
+                1,
+            ).otherwise(0),
+        )
+    )
+    r_win = summarize(win)
+    t_win = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    views = ev.where(F.col("et") == "view").select(
+        "u", "eid", "ts_us"
+    )
+    purch = ev.where(F.col("et") == "purchase").select(
+        F.col("u").alias("u2"),
+        F.col("eid").alias("pid"),
+        F.col("ts_us").alias("pts"),
+    )
+    joined = (
+        views.join(
+            purch,
+            (F.col("u") == F.col("u2"))
+            & (
+                (F.col("pts") > F.col("ts_us"))
+                | (
+                    (F.col("pts") == F.col("ts_us"))
+                    & (F.col("pid") > F.col("eid"))
+                )
+            ),
+            "left",
+        )
+        .groupBy("u", "eid", "ts_us")
+        .agg(F.min("pts").alias("nb"))
+        .withColumn(
+            "conv",
+            F.when(
+                F.col("nb").isNotNull()
+                & (F.col("nb") - F.col("ts_us") <= within),
+                1,
+            ).otherwise(0),
+        )
+    )
+    r_join = summarize(joined)
+    t_join = time.perf_counter() - t0
+
+    assert (r_win.n_views, r_win.n_conv, r_win.lat) == (
+        r_join.n_views,
+        r_join.n_conv,
+        r_join.lat,
+    ), (r_win, r_join)
+    print(
+        f"funnel n={n} users={users} (~{n // users}/user): window "
+        f"{t_win:.2f}s vs self-join {t_join:.2f}s "
+        f"({t_join / t_win:.2f}x); views={r_win.n_views} "
+        f"conv={r_win.n_conv} identical"
+    )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "funnel":
+        funnel_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 50_000,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "kcore":
         kcore_probe(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
