@@ -995,13 +995,46 @@ def all_queries() -> dict[str, Q]:
         raise KeyError(f"WINDOW_R13 names not in registry: {missing}")
     ordered = {n: _REGISTRY[n] for n in WINDOW_R13}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
-    # the declared round-14 window must be EXACTLY the registry's
-    # trailing 50 (the round-13 additions in registration order) — a
-    # drifted declaration would attest the wrong rows next round
-    tail = list(ordered)[-50:]
+    # the declared round-14 window must be EXACTLY the round-13
+    # trailing additions in canonical order — a drifted declaration
+    # would attest the wrong rows next round. The expected sequence is
+    # rebuilt from the round-13 MODULE list (not from _REGISTRY dict
+    # order): a test importing any plans module before all_queries()
+    # interleaves registration order process-wide, while per-module
+    # registration order is always source order (a module's top-level
+    # runs exactly once, atomically) — so module-anchored
+    # reconstruction is import-order-proof where `list(ordered)[-50:]`
+    # was not (r13-opt fix: the dict-order form failed under pytest
+    # because earlier tests import plan modules directly).
+    _r13_mods = [
+        m.__name__.rsplit(".", 1)[-1]
+        for m in (
+            queries_dedup_exact_cells3, queries_mmr_multi,
+            queries_rrf_multi, queries_skyline, queries_stats_rank,
+            queries_hll_intersect, queries_tfidf_pairs,
+            queries_robust_stats, queries_regression,
+            queries_assoc_rules, queries_streaming_skyline,
+            queries_dbscan, queries_inequality, queries_zipf,
+            queries_benford, queries_streaming_assoc,
+            queries_l_diversity, queries_linkpred, queries_tpch_q3,
+            queries_survival, queries_psi, queries_lorenz,
+            queries_monitoring, queries_tpch_suite,
+            queries_tpch_suite2, queries_privacy2,
+            queries_timeseries2, queries_sequences2, queries_kcore,
+            queries_streaming_ewma, queries_analytics2,
+            queries_hardneg, queries_sessions2, queries_srcsim,
+        )
+    ]
+    tail = [
+        n
+        for m in _r13_mods
+        for n, q in _REGISTRY.items()
+        if q.spark.__module__.rsplit(".", 1)[-1] == m
+    ]
     if tail != WINDOW_R14_DECLARED:
         raise AssertionError(
-            "WINDOW_R14_DECLARED drifted from the registry's trailing "
-            f"50: first mismatch at {next(i for i, (a, b) in enumerate(zip(tail, WINDOW_R14_DECLARED)) if a != b)}"
+            "WINDOW_R14_DECLARED drifted from the round-13 trailing "
+            f"additions: expected {tail[:3]}..., declared "
+            f"{WINDOW_R14_DECLARED[:3]}..."
         )
     return ordered
