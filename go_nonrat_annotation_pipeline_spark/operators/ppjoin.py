@@ -36,7 +36,6 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import hashing as H
-from .dedup import shingle_sets
 from .util import ensure_parallelism
 
 PPM = 1_000_000
@@ -49,13 +48,38 @@ def _doc_tokens(
 ) -> DataFrame:
     """(id, token) — the document's DISTINCT 3-shingle hashes, one row
     each (docs shorter than the shingle width vanish here, matching the
-    oracle's empty-list UNNEST)."""
-    sh = shingle_sets(
-        ensure_parallelism(docs.select(id_col, text_col)),
-        text_col,
-        SHINGLE_N,
+    oracle's empty-list UNNEST).
+
+    Expressed relationally (posexplode words → codegen md5 per word →
+    window-lead shingle combine → distinct) rather than via the
+    array-HOF ``shingle_sets``: higher-order lambdas are interpreted
+    per element, and the md5-per-word transform alone measured 6-8s at
+    sf0.1 (5000 docs, 260k tokens) vs 1.5s for this form computing the
+    identical token set — the operators/dedup._minhash_docs discipline
+    (r13-opt; guide §4.1: keep hot expressions inside whole-stage
+    codegen). The window shuffle is keyed on the doc id, the same key
+    the downstream lens aggregate reuses."""
+    base = ensure_parallelism(docs.select(id_col, text_col))
+    words = base.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_w"),
     )
-    return sh.select(id_col, F.explode("sh").alias("token"))
+    hashed = words.select(
+        id_col, "_pos", H.char_hash(F.col("_w")).alias("_h")
+    )
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    terms = [
+        (F.col("_h") if k == 0 else F.lead("_h", k).over(win))
+        * F.lit(31 ** (SHINGLE_N - 1 - k))
+        for k in range(SHINGLE_N)
+    ]
+    return (
+        hashed.select(
+            F.col(id_col), (sum(terms) % F.lit(H.P)).alias("token")
+        )
+        .where(F.col("token").isNotNull())
+        .distinct()
+    )
 
 
 def prefix_tokens(
