@@ -34,13 +34,107 @@ multiplies only the hot cells' arity by ``k_sub``.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
 
 from .decontam_ann import (
     build_bench_cells,
     compatible_cell_pairs,
     residual_to_cell,
 )
+
+# Beyond this cell count the folded-literal argmax/residual expressions
+# stop paying: the Column tree grows ~70 nodes per centroid and the
+# per-row interpreted evaluation does k dot products, so a drained
+# table of hundreds of cells spends seconds per action in parse +
+# analysis + interpreted eval (measured at sf0.1: 7.2s for one
+# assign+aggregate pass at 512 cells vs <0.5s via the kernel). The
+# similarity.argmax_cell doc draws the same line at k ~ 64.
+KERNEL_CELLS = 64
+
+
+def assign_res_kernel(
+    vec_col: Column, cent_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """struct(cell, res): nearest-cell id by cosine + unit-sphere
+    residual to it, ONE Arrow numpy matmul per batch — the scale form
+    of argmax_cell + residual_to_cell for high cell counts.
+
+    Result-neutrality: cell choice steers pruning only (the two-hop
+    ball bound holds under ANY assignment), and the ~1e-15 float
+    reassociation delta between this kernel and the JVM expression
+    fold is dwarfed by the bound's absolute 1e-6 slack
+    (decontam_ann._SLACK), so residual-driven compatibility never
+    drops a qualifying pair. Tie-break matches the expression form:
+    centroids sorted by id, np.argmax takes the first (lowest-id) max.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    rows = sorted(cent_rows)
+    ids = np.asarray([int(c) for c, _ in rows], dtype=np.int64)
+    C = np.asarray([np.asarray(v, dtype=np.float64) for _, v in rows])
+    # cells are unit centroids by construction (build_bench_cells);
+    # normalize defensively so the argmax stays a cosine argmax
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("struct<cell:bigint,res:double>")
+    def k(v: pd.Series) -> pd.DataFrame:
+        m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int64"),
+                    "res": pd.Series([], dtype="float64"),
+                }
+            )
+        dots = m @ Cn.T  # (n, k) = v · u_c
+        idx = np.argmax(dots, axis=1)
+        best = dots[np.arange(len(m)), idx]
+        vn = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        cos = best / vn
+        res = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * cos))
+        return pd.DataFrame({"cell": ids[idx], "res": res})
+
+    return k(vec_col)
+
+
+def assign_with_residual(
+    df,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    out_id: str = "_rid",
+    out_vec: str = "_rv",
+    out_cell: str = "_rcell",
+    out_res: str = "_rres",
+    assign_kernel: bool = False,
+):
+    """(id, vec, cell, res) against ``cent_rows`` — expression form for
+    small cell tables (bit-parity with the attested test-SF path),
+    kernel form beyond KERNEL_CELLS (or when forced)."""
+    from .similarity import argmax_cell
+
+    if assign_kernel or len(cent_rows) > KERNEL_CELLS:
+        ar = assign_res_kernel(F.col(vec_col), cent_rows)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            ar.alias("_ar"),
+        ).select(
+            out_id,
+            out_vec,
+            F.col("_ar.cell").alias(out_cell),
+            F.col("_ar.res").alias(out_res),
+        )
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(out_vec),
+        argmax_cell(F.col(vec_col), cent_rows).alias(out_cell),
+    ).withColumn(
+        out_res,
+        residual_to_cell(F.col(out_vec), F.col(out_cell), cent_rows),
+    )
 
 
 def cell_candidate_loads(
@@ -80,20 +174,15 @@ def drain_saturated_cells(
     re-aggregates residuals against it exactly as for an undrained
     table, which keeps assignment/residuals/bound self-consistent and
     the result set identical by the cell-agnostic ball bound."""
-    from .similarity import argmax_cell
-
     for _ in range(max_rounds):
         if not cent_rows:
             return cent_rows
-        assigned = df.select(
-            F.col(id_col).alias("_rid"),
-            F.col(vec_col).alias("_rv"),
-            argmax_cell(
-                F.col(vec_col), cent_rows, assign_kernel=assign_kernel
-            ).alias("_rcell"),
-        ).withColumn(
-            "_rres",
-            residual_to_cell(F.col("_rv"), F.col("_rcell"), cent_rows),
+        assigned = assign_with_residual(
+            df,
+            id_col,
+            vec_col,
+            cent_rows,
+            assign_kernel=assign_kernel,
         )
         stats = {
             r[0]: (int(r[1]), float(r[2]))

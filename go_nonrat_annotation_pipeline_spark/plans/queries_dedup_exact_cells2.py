@@ -27,12 +27,14 @@ from ..operators.decontam_ann import (
     build_bench_cells,
     compatible_cell_pairs,
     pair_radius,
-    residual_to_cell,
     train_sample,
 )
-from ..operators.decontam_drain import drain_saturated_cells
+from ..operators.decontam_drain import (
+    assign_with_residual,
+    drain_saturated_cells,
+)
 from ..operators.dedup import cosine
-from ..operators.similarity import _as_double, argmax_cell
+from ..operators.similarity import _as_double
 from ..operators.util import ensure_parallelism
 from ..sources.testdata import load_table
 from .registry import register
@@ -104,18 +106,21 @@ def build_drained_pairs(spark, sf_dir, cand_cap, max_rounds=2):
         k_sub=_K,
         max_rounds=max_rounds,
     )
-    assigned = (
-        vecs.select(
-            "vec_id",
-            "v",
-            argmax_cell(F.col("v"), cent_rows).alias("cell"),
-        )
-        .withColumn(
-            "res",
-            residual_to_cell(F.col("v"), F.col("cell"), cent_rows),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # expression assignment below ~64 cells (the attested test-SF
+    # path, bit-parity with r12), Arrow kernel beyond — a fired drain
+    # can leave hundreds of cells, where the folded-literal expressions
+    # cost seconds per action (assign_with_residual picks; results are
+    # cell-agnostic either way, see decontam_drain.assign_res_kernel)
+    assigned = assign_with_residual(
+        vecs,
+        "vec_id",
+        "v",
+        cent_rows,
+        out_id="vec_id",
+        out_vec="v",
+        out_cell="cell",
+        out_res="res",
+    ).localCheckpoint(eager=False)
     maxres = {
         r[0]: r[1]
         for r in assigned.groupBy("cell")
