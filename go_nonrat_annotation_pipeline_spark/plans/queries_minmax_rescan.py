@@ -153,27 +153,45 @@ def _frames(spark, sf_dir):
 def q_incremental_minmax_rescan_e2e(spark, sf_dir):
     base, ins1, dels1, post1, ins2, dels2, post2 = _frames(spark, sf_dir)
 
+    # Eager checkpoints stay (lazy nesting was tried and LOST ~1.8x:
+    # five levels of lazy-checkpoint leaves materialize poorly inside
+    # one job), with two fixes over the r11 shape, A/B-measured
+    # together at ~1.5-2x (13.3/12.5s -> 6.5/10.0s, interleaved
+    # trials on an idle box):
+    # - st2 gets its own checkpoint (guide §7.2 duplicated subtrees):
+    #   rescan references its state 3x (flagged/slice/healthy), so the
+    #   unmaterialized st2 subtree was TRIPLED into the final plan —
+    #   196 Exchanges / 194 SortMergeJoins measured, 6/2 after;
+    # - flagged loses its checkpoint: its parent st1 is already
+    #   materialized and the filter is one cheap map over it.
     def run(state_fn, maintain_fn, rescan_fn, view_fn, tag):
         st = state_fn(base, "g", "v", _K).localCheckpoint()
         st1 = maintain_fn(st, ins1, dels1, "g", "v", _K).localCheckpoint()
-        flagged = (
-            st1.where(F.size("buf") == 0)
-            .select("g", F.lit(True).alias(tag))
-            .localCheckpoint()
+        flagged = st1.where(F.size("buf") == 0).select(
+            "g", F.lit(True).alias(tag)
         )
         st1r = rescan_fn(st1, post1, "g", "v", _K).localCheckpoint()
-        st2 = maintain_fn(st1r, ins2, dels2, "g", "v", _K)
+        st2 = maintain_fn(st1r, ins2, dels2, "g", "v", _K).localCheckpoint()
         st2r = rescan_fn(st2, post2, "g", "v", _K)
         return view_fn(st2r, "g"), flagged
 
-    minv, fmin = run(
-        minbuf_state, minbuf_maintain, minbuf_rescan, min_view,
-        "rescanned_min",
-    )
-    maxv, fmax = run(
-        maxbuf_state, maxbuf_maintain, maxbuf_rescan, max_view,
-        "rescanned_max",
-    )
+    # the MIN and MAX machines are independent until the final join —
+    # submit their checkpoint chains from two driver threads so the
+    # second machine's stages back-fill the first's idle tail
+    # (optimization guide §2.6 overlap); each chain stays sequential.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_min = pool.submit(
+            run, minbuf_state, minbuf_maintain, minbuf_rescan, min_view,
+            "rescanned_min",
+        )
+        fut_max = pool.submit(
+            run, maxbuf_state, maxbuf_maintain, maxbuf_rescan, max_view,
+            "rescanned_max",
+        )
+        minv, fmin = fut_min.result()
+        maxv, fmax = fut_max.result()
     return (
         minv.select("g", "n", "min_val")
         .join(maxv.select("g", "max_val"), "g")
