@@ -29,11 +29,10 @@ from pyspark.sql import functions as F
 
 from ..operators.decontam_ann import (
     build_bench_cells,
-    compatible_cell_pairs,
-    pair_radius,
     residual_to_cell,
     train_sample,
 )
+from ..operators.pair_blocks import block_candidate_pairs
 from ..operators.dedup import connected_components_star, cosine
 from ..operators.similarity import _as_double, argmax_cell
 from ..operators.util import ensure_parallelism
@@ -83,33 +82,12 @@ def _exact_pairs(spark, sf_dir):
     full_cells = [
         (cid, cv, float(maxres.get(cid, 0.0))) for cid, cv in cent_rows
     ]
-    compat = spark.createDataFrame(
-        compatible_cell_pairs(full_cells, _EPS, with_dist=True),
-        "ca long, cb long, dctr double",
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("v").alias("va"),
-        F.col("cell").alias("ca"),
-        F.col("res").alias("res_a"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("v").alias("vb"),
-        F.col("cell").alias("cb"),
-        F.col("res").alias("res_b"),
-    )
+    # r13-opt: blocked matmul candidates + exact expression re-rank
+    # (operators/pair_blocks.py, guide §4.2/§8) — the eps-graph edges
+    # are unchanged, the per-candidate 64-dim JVM cosine is not.
+    cand = block_candidate_pairs(assigned, full_cells, _EPS)
     return (
-        a.join(F.broadcast(compat), "ca")
-        .join(b, "cb")
-        .where(F.col("vec_id_a") < F.col("vec_id_b"))
-        .where(
-            F.col("dctr")
-            <= F.col("res_a")
-            + F.lit(pair_radius(_EPS) + 1e-6)
-            + F.col("res_b")
-        )
-        .where(
+        cand.where(
             F.round(cosine(F.col("va"), F.col("vb")), 6)
             >= F.lit(_EPS)
         )

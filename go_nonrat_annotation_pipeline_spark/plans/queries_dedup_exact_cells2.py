@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 
 from ..operators.decontam_ann import (
     build_bench_cells,
-    compatible_cell_pairs,
-    pair_radius,
     train_sample,
 )
 from ..operators.decontam_drain import (
@@ -34,6 +32,7 @@ from ..operators.decontam_drain import (
     drain_saturated_cells,
 )
 from ..operators.dedup import cosine
+from ..operators.pair_blocks import block_candidate_pairs
 from ..operators.similarity import _as_double
 from ..operators.util import ensure_parallelism
 from ..sources.testdata import load_table
@@ -130,33 +129,13 @@ def build_drained_pairs(spark, sf_dir, cand_cap, max_rounds=2):
     full_cells = [
         (cid, cv, float(maxres.get(cid, 0.0))) for cid, cv in cent_rows
     ]
-    compat = spark.createDataFrame(
-        compatible_cell_pairs(full_cells, _TH, with_dist=True),
-        "ca long, cb long, dctr double",
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("v").alias("va"),
-        F.col("cell").alias("ca"),
-        F.col("res").alias("res_a"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("v").alias("vb"),
-        F.col("cell").alias("cb"),
-        F.col("res").alias("res_b"),
-    )
+    # r13-opt: blocked candidate generation (operators/pair_blocks.py,
+    # guide §4.2/§8) — one numpy matmul per compatible cell block, then
+    # the oracle-exact expression cosine on survivors only; especially
+    # apt here, where a FIRED drain bounds every block by construction.
+    cand = block_candidate_pairs(assigned, full_cells, _TH)
     return (
-        a.join(F.broadcast(compat), "ca")
-        .join(b, "cb")
-        .where(F.col("vec_id_a") < F.col("vec_id_b"))
-        .where(
-            F.col("dctr")
-            <= F.col("res_a")
-            + F.lit(pair_radius(_TH) + 1e-6)
-            + F.col("res_b")
-        )
-        .withColumn(
+        cand.withColumn(
             "cosine", F.round(cosine(F.col("va"), F.col("vb")), 6)
         )
         .where(F.col("cosine") >= F.lit(_TH))
