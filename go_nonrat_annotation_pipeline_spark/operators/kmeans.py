@@ -21,6 +21,9 @@ Lloyd's degeneracy handling, deterministic).
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +33,27 @@ from .similarity import argmax_cell
 
 def _as_double(vec):
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _round9_cosine_lt1(a: list[float], b: list[float]) -> bool:
+    """Driver mirror of the old JVM early-stop predicate
+    ``F.round(cosine(old, new), 9) < 1.0`` — same left-to-right IEEE
+    folds as operators/dedup.cosine, same HALF_UP decimal rounding
+    (Spark rounds DoubleType via the shortest-repr decimal string,
+    which is what ``repr(float)`` yields)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    c = dot / (math.sqrt(na) * math.sqrt(nb))
+    return Decimal(repr(c)).quantize(
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    ) < Decimal(1)
 
 
 def kmeans_fit(
@@ -77,73 +101,70 @@ def kmeans_fit(
         .collect()
     )
     spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(i, list(r.v)) for i, r in enumerate(seed_rows)],
-        "cent_id int, cv array<double>",
-    ).localCheckpoint()
-
-    norm = lambda c: F.transform(  # noqa: E731
-        c,
-        lambda x: x
-        / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, y: a + y * y)),
-    )
+    cent_rows: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r.v]) for i, r in enumerate(seed_rows)
+    ]
 
     for _ in range(max_iter):
         # assignment is a PURE MAP-SIDE argmax: the k centroids (tiny)
-        # are collected and folded into the column via argmax_cell — no
-        # crossJoin, no window exchange. The previous crossJoin +
-        # row_number form shuffled all N×k scored rows per iteration.
-        # The narrow result is persisted so the two update branches
-        # (per-dimension sums + cell counts) share ONE evaluation — the
-        # old window form got that sharing implicitly via ReusedExchange.
-        cent_rows = [(r.cent_id, list(r.cv)) for r in cents.collect()]
-        assigned = vecs.select(
-            "_id",
-            "v",
-            argmax_cell(F.col("v"), cent_rows, assign_kernel)
-            .cast("int")
-            .alias("cent_id"),
-        ).persist()
+        # live driver-side and are folded into the column via
+        # argmax_cell — no crossJoin, no window exchange. The previous
+        # crossJoin + row_number form shuffled all N×k scored rows per
+        # iteration.
+        #
         # update via per-DIMENSION partial sums: posexplode to
         # (cell, dim, x) and sum with map-side combine — never gathers a
         # cell's vectors on one task (a collect_list per cell would:
-        # cells are O(N/k) rows). Reduce output is k×dim rows — tiny.
-        dim_sums = (
-            assigned.select("cent_id", F.posexplode("v").alias("d", "x"))
+        # cells are O(N/k) rows). Reduce output is k×dim rows — tiny,
+        # so the mean + unit-normalization runs DRIVER-side on the
+        # collected aggregate (r13 optimization: the whole update is ONE
+        # action per iteration; the earlier JVM-side mean/norm/anti-join
+        # + per-iteration localCheckpoint paid ~4 extra driver jobs and
+        # a full plan re-analysis per iteration for k-row arithmetic).
+        # Bit-exactness: the per-(cell,dim) F.sum is byte-identical to
+        # the old plan; mean = s/n and x/sqrt(Σx²) (left-to-right fold)
+        # are the same IEEE-double ops the old JVM expressions ran.
+        sums = (
+            vecs.select(
+                argmax_cell(F.col("v"), cent_rows, assign_kernel)
+                .cast("int")
+                .alias("cent_id"),
+                "v",
+            )
+            # separate select: a generator in the same projection as the
+            # argmax struct expression makes the analyzer drop the
+            # struct's field aliases (col1/col2), breaking array_max["n"]
+            .select("cent_id", F.posexplode("v").alias("d", "x"))
             .groupBy("cent_id", "d")
-            .agg(F.sum("x").alias("s"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        counts = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
-        means = (
-            dim_sums.join(counts, "cent_id")
-            .groupBy("cent_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("m")))
-                ).alias("dm")
-            )
-            .select(
-                "cent_id", F.transform("dm", lambda e: e["m"]).alias("mean")
-            )
-        )
-        new_cents = means.select("cent_id", norm(F.col("mean")).alias("cv"))
-        # empty cells: keep the previous centroid
-        kept = cents.join(new_cents.select("cent_id"), "cent_id", "left_anti")
-        cents2 = new_cents.unionByName(kept).localCheckpoint()
-        assigned.unpersist()
-        if early_stop:
-            moved = (
-                cents.select("cent_id", F.col("cv").alias("old"))
-                .join(cents2, "cent_id")
-                .where(F.round(cosine(F.col("old"), F.col("cv")), 9) < 1.0)
-                .isEmpty()
-            )
-            cents = cents2
-            if moved:
-                break
-        else:
-            cents = cents2
-    return cents
+        by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r.cent_id, {})[r.d] = (r.s, r.n)
+        new_rows: list[tuple[int, list[float]]] = []
+        moved = False
+        for cid, cv in cent_rows:
+            dims = by_cell.get(cid)
+            if not dims:
+                # empty cell: keep the previous centroid
+                new_rows.append((cid, cv))
+                continue
+            mean = [dims[d][0] / dims[d][1] for d in range(len(cv))]
+            acc = 0.0
+            for m in mean:
+                acc = acc + m * m
+            nrm = math.sqrt(acc)
+            new_cv = [m / nrm for m in mean]
+            new_rows.append((cid, new_cv))
+            if early_stop and not moved:
+                moved = _round9_cosine_lt1(cv, new_cv)
+        cent_rows = new_rows
+        if early_stop and not moved:
+            break
+    return spark.createDataFrame(
+        cent_rows, "cent_id int, cv array<double>"
+    )
 
 
 def kmeans_inertia(
