@@ -27,14 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from ..operators.decontam_ann import (
-    build_bench_cells,
-    residual_to_cell,
-    train_sample,
-)
+from ..operators.decontam_ann import build_bench_cells
 from ..operators.dedup import cosine
-from ..operators.knn_exact import probe_cells_topk, seed_cells
-from ..operators.similarity import _as_double, argmax_cell
+from ..operators.knn_kernel import driver_train_sample, topk_candidate_ids
+from ..operators.similarity import _as_double
 from ..operators.util import ensure_parallelism
 from ..sources.testdata import load_table
 from .registry import register
@@ -65,90 +61,50 @@ _TOPK = 5
     "window SQL",
 )
 def sim_knn_exact_cells(spark, sf_dir):
+    # r13 optimization: the two passes (seed + prune) now run inside
+    # ONE Arrow kernel per batch (operators/knn_kernel.topk_candidate_ids
+    # — same cell bounds, float64 numpy) which emits a provable
+    # SUPERSET of each row's exact top-k; only those candidates are
+    # re-scored with the oracle-exact expression cosine and ranked.
+    # The earlier explode + broadcast-join form evaluated the
+    # interpreted 64-step cosine fold on every candidate (the full
+    # N×B = 358k pairs at sf0.1 in the unclustered degrade-to-brute
+    # regime) and shuffled them all into the rank window; the kernel
+    # emits ~k+ties per row, so the exact folds and the window
+    # shuffle shrink ~30× (guide §4.2, §2.3). Exactness argument in
+    # the operator module doc; the bench side is collected ONCE (it
+    # is dictionary-sized by contract and was already shipped whole
+    # as the broadcast join side).
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    bench = emb.where("label = 0").select(
-        F.col("vec_id").alias("bench_id"),
-        _as_double(F.col("embedding")).alias("vb"),
-    )
+    bench_rows = [
+        (int(r[0]), list(r[1]))
+        for r in emb.where("label = 0")
+        .select("vec_id", _as_double(F.col("embedding")).alias("vb"))
+        .collect()
+    ]
     corpus = emb.where("label != 0").select(
         "vec_id", _as_double(F.col("embedding")).alias("vc")
     )
-    sample_rows = train_sample(
-        bench, "bench_id", "vb", target=_TRAIN_TARGET
-    )
-    _, cells = build_bench_cells(sample_rows, k=_K_CELLS)
-    if not cells:
+    if not bench_rows:
         return spark.createDataFrame(
             [], "vec_id long, rank long, bench_id long, cosine double"
         )
-    cent_rows = [(cid, cv) for cid, cv, _ in cells]
-    bench_cells = bench.select(
-        "bench_id",
-        "vb",
-        argmax_cell(F.col("vb"), cent_rows).alias("cell"),
-    ).withColumn(
-        "res", residual_to_cell(F.col("vb"), F.col("cell"), cent_rows)
+    # capped train sample (the round-12 sampling discipline), applied
+    # driver-side to the already-collected dictionary-sized bench
+    sample_rows = driver_train_sample(bench_rows, target=_TRAIN_TARGET)
+    _, cells = build_bench_cells(sample_rows, k=_K_CELLS)
+    bench_b = spark.createDataFrame(
+        bench_rows, "bench_id long, vb array<double>"
     )
-    # ONE aggregate collects both the full-population residuals (the
-    # bound) and the occupancy (the seed fold) — k rows to the driver
-    stats = {
-        r[0]: (float(r[1]), int(r[2]))
-        for r in bench_cells.groupBy("cell")
-        .agg(
-            F.max("res").alias("res"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    }
-    full_cells = [
-        (cid, cv, stats.get(cid, (0.0, 0))[0]) for cid, cv in cent_rows
-    ]
-    occupancy = {cid: stats.get(cid, (0.0, 0))[1] for cid, _ in cent_rows}
-    bcells = bench_cells.select("cell", "bench_id", "vb")
-
-    # pass 1 (seed): candidates from the nearest cells covering >= k
-    # members; k-th best rounded cosine = the row's prune threshold.
-    # first(vc) carries the vector through the aggregate so pass 2
-    # needs no join back to the corpus.
-    seeded = (
-        corpus.select(
-            "vec_id",
-            "vc",
-            F.explode(
-                seed_cells(F.col("vc"), full_cells, occupancy, _TOPK)
-            ).alias("cell"),
-        )
-        .join(F.broadcast(bcells), "cell")
-        .withColumn("cosine", F.round(cosine(F.col("vc"), F.col("vb")), 6))
-        .groupBy("vec_id")
-        .agg(
-            F.first("vc").alias("vc"),
-            F.sort_array(F.collect_list("cosine")).alias("cs"),
-        )
-        .withColumn(
-            "tx",
-            F.when(
-                F.size("cs") >= _TOPK,
-                F.element_at(F.col("cs"), F.size("cs") - _TOPK + 1),
-            ).otherwise(F.lit(-1.0)),
-        )
-        .drop("cs")
+    cand = topk_candidate_ids(
+        spark, F.col("vc"), bench_rows, cells, _TOPK
     )
-    # pass 2 (prune): probe every cell whose cap upper bound clears
-    # tx - slack; exact rounded top-k with lowest-id tiebreak.
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine"), F.asc("bench_id")
     )
     return (
-        seeded.select(
-            "vec_id",
-            "vc",
-            "tx",
-            F.explode(
-                probe_cells_topk(F.col("vc"), F.col("tx"), full_cells)
-            ).alias("cell"),
-        )
-        .join(F.broadcast(bcells), "cell")
+        corpus.select("vec_id", "vc", F.explode(cand).alias("bench_id"))
+        .join(F.broadcast(bench_b), "bench_id")
         .withColumn("cosine", F.round(cosine(F.col("vc"), F.col("vb")), 6))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TOPK)

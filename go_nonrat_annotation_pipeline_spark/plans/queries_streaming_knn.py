@@ -22,14 +22,10 @@ import tempfile
 
 from pyspark.sql import Window, functions as F
 
-from ..operators.decontam_ann import (
-    build_bench_cells,
-    residual_to_cell,
-    train_sample,
-)
+from ..operators.decontam_ann import build_bench_cells
 from ..operators.dedup import cosine
-from ..operators.knn_exact import probe_cells_topk, seed_cells
-from ..operators.similarity import _as_double, argmax_cell
+from ..operators.knn_kernel import driver_train_sample, topk_candidate_ids
+from ..operators.similarity import _as_double
 from ..sources.testdata import load_table
 from .registry import register
 from .queries_semantic_decontam import _CTES
@@ -57,95 +53,55 @@ _TOPK = 5
     "store hash-equals the batch brute-force window oracle",
 )
 def stream_knn_exact(spark, sf_dir):
+    # r13 optimization (mirrors the batch twin sim_knn_exact_cells):
+    # the bench is collected ONCE (dictionary-sized by contract — it
+    # was already shipped whole as the broadcast join side) and both
+    # exact passes run inside one Arrow kernel per trigger batch
+    # (operators/knn_kernel.topk_candidate_ids), which emits a provable
+    # superset of each row's exact top-k; only those candidates are
+    # re-scored with the oracle-exact expression cosine and ranked.
+    # Per-trigger cost drops from two broadcast joins + a full-candidate
+    # interpreted-cosine pass + a seed groupBy shuffle to one kernel
+    # stage + ~k+ties exact folds per row.
     emb = load_table(spark, sf_dir, "embeddings")
-    bench = (
-        emb.where("label = 0")
-        .select(
-            F.col("vec_id").alias("bench_id"),
-            _as_double(F.col("embedding")).alias("vb"),
-        )
-        .localCheckpoint()
-    )
+    bench_rows = [
+        (int(r[0]), list(r[1]))
+        for r in emb.where("label = 0")
+        .select("vec_id", _as_double(F.col("embedding")).alias("vb"))
+        .collect()
+    ]
     empty = spark.createDataFrame(
         [], "vec_id long, rank long, bench_id long, cosine double"
     )
-    sample_rows = train_sample(
-        bench, "bench_id", "vb", target=_TRAIN_TARGET
-    )
-    _, cells = build_bench_cells(sample_rows, k=_K_CELLS)
-    if not cells:
+    if not bench_rows:
         return empty
-    cent_rows = [(cid, cv) for cid, cv, _ in cells]
-    bench_cells = (
-        bench.select(
-            "bench_id",
-            "vb",
-            argmax_cell(F.col("vb"), cent_rows).alias("cell"),
-        )
-        .withColumn(
-            "res",
-            residual_to_cell(F.col("vb"), F.col("cell"), cent_rows),
-        )
-        .localCheckpoint()
+    sample_rows = driver_train_sample(bench_rows, target=_TRAIN_TARGET)
+    _, cells = build_bench_cells(sample_rows, k=_K_CELLS)
+    bench_b = spark.createDataFrame(
+        bench_rows, "bench_id long, vb array<double>"
     )
-    stats = {
-        r[0]: (float(r[1]), int(r[2]))
-        for r in bench_cells.groupBy("cell")
-        .agg(F.max("res").alias("res"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    full_cells = [
-        (cid, cv, stats.get(cid, (0.0, 0))[0]) for cid, cv in cent_rows
-    ]
-    occupancy = {cid: stats.get(cid, (0.0, 0))[1] for cid, _ in cent_rows}
-    bcells = bench_cells.select("cell", "bench_id", "vb")
+    cand = topk_candidate_ids(
+        spark, F.col("vc"), bench_rows, cells, _TOPK
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine"), F.asc("bench_id")
     )
-    state = {"q": empty.localCheckpoint()}
+    # per-row top-k is batch-invariant, so the result store is an
+    # append-only union: each trigger materializes ONLY its own top-k
+    # rows and the union is assembled once after the stream — the
+    # earlier per-trigger `state ∪ batch` localCheckpoint rewrote the
+    # ENTIRE accumulated store every trigger (O(T²) state bytes over T
+    # triggers; r13 optimization, guide §1.2). The kernel column is
+    # built once and reused across triggers.
+    parts: list = []
 
     def handle(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        seeded = (
+        topk = (
             batch_df.select(
                 "vec_id", _as_double(F.col("embedding")).alias("vc")
             )
-            .select(
-                "vec_id",
-                "vc",
-                F.explode(
-                    seed_cells(F.col("vc"), full_cells, occupancy, _TOPK)
-                ).alias("cell"),
-            )
-            .join(F.broadcast(bcells), "cell")
-            .withColumn(
-                "cosine", F.round(cosine(F.col("vc"), F.col("vb")), 6)
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.first("vc").alias("vc"),
-                F.sort_array(F.collect_list("cosine")).alias("cs"),
-            )
-            .withColumn(
-                "tx",
-                F.when(
-                    F.size("cs") >= _TOPK,
-                    F.element_at(F.col("cs"), F.size("cs") - _TOPK + 1),
-                ).otherwise(F.lit(-1.0)),
-            )
-            .drop("cs")
-        )
-        topk = (
-            seeded.select(
-                "vec_id",
-                "vc",
-                "tx",
-                F.explode(
-                    probe_cells_topk(F.col("vc"), F.col("tx"), full_cells)
-                ).alias("cell"),
-            )
-            .join(F.broadcast(bcells), "cell")
+            .select("vec_id", "vc", F.explode(cand).alias("bench_id"))
+            .join(F.broadcast(bench_b), "bench_id")
             .withColumn(
                 "cosine", F.round(cosine(F.col("vc"), F.col("vb")), 6)
             )
@@ -153,14 +109,19 @@ def stream_knn_exact(spark, sf_dir):
             .where(F.col("rank") <= _TOPK)
             .select("vec_id", "rank", "bench_id", "cosine")
         )
-        state["q"] = state["q"].unionByName(topk).localCheckpoint()
+        parts.append(topk.localCheckpoint())
 
     root = tempfile.mkdtemp(prefix="stream_knn_")
     try:
         staged = os.path.join(root, "emb")
         os.makedirs(staged)
         base = 1_600_000_000
-        corpus = emb.where("label != 0").select("vec_id", "embedding")
+        # one corpus scan serves all three staged batch files
+        corpus = (
+            emb.where("label != 0")
+            .select("vec_id", "embedding")
+            .localCheckpoint()
+        )
         for i in range(3):
             tmp = os.path.join(root, f"tmp_{i}")
             corpus.where(f"vec_id % 3 = {i}").coalesce(1).write.mode(
@@ -187,6 +148,9 @@ def stream_knn_exact(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-        return state["q"]
+        out = empty
+        for p in parts:
+            out = out.unionByName(p)
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
