@@ -134,7 +134,12 @@ _E2E_ORACLE = f"""
 )
 def corpus_curation_e2e(spark, sf_dir):
     pool = _laced(spark, sf_dir).where(F.col("doc_id") % _TEST_MOD != 0)
-    scrub = P.pii_scrub(pool, text_col="laced")
+    # r13 optimization: checkpoint the SCRUB output (one regex pass)
+    # instead of only s2 — the funnel's s1 leg used to re-run the whole
+    # PII regex cascade at every execution of the final plan (guide
+    # §7.2 duplicated subtrees); s1/s2 now derive from the materialized
+    # scrub with cheap filters.
+    scrub = P.pii_scrub(pool, text_col="laced").localCheckpoint()
     s1 = scrub.where(F.col("n_ssn") == 0)
     feats = s1.select(
         "doc_id",

@@ -84,30 +84,40 @@ def q_hard_negatives(spark, sf_dir):
         SIM.hyperplane_bucket(v, _PLANES).alias("bucket"),
         RP.quantize(F.col("embedding")).alias("q"),
     )
-    toks = base.select(
-        "vec_id", "label", "bucket", F.posexplode("q").alias("d0", "x")
-    ).select(
-        "vec_id", "label", "bucket", (F.col("d0") + 1).alias("d"), "x"
-    )
-    a = toks.select(
+    # r13 optimization (guide §2.3 shuffle fewer bytes): the dot used
+    # to be built from a 64×-exploded token join — every candidate
+    # pair shuffled 64 (bucket, d) rows into a pair-keyed hash
+    # aggregate. Joining the un-exploded rows on the bucket alone and
+    # folding the dot with zip_with/aggregate keeps the join input at
+    # one row per vector and removes the pair-keyed aggregate
+    # entirely; integer products sum exactly in any order, so the dot
+    # is value-identical to the grouped SUM the oracle computes.
+    a = base.select(
         F.col("vec_id").alias("_a"),
         F.col("label").alias("_al"),
         "bucket",
-        "d",
-        F.col("x").alias("ax"),
+        F.col("q").alias("qa"),
     )
-    b = toks.select(
+    b = base.select(
         F.col("vec_id").alias("_b"),
         F.col("label").alias("_bl"),
         "bucket",
-        "d",
-        F.col("x").alias("bx"),
+        F.col("q").alias("qb"),
     )
     dots = (
-        a.join(b, ["bucket", "d"])
+        a.join(b, ["bucket"])
         .where(F.col("_al") != F.col("_bl"))
-        .groupBy("_a", "_al", "_b", "_bl")
-        .agg(F.sum(F.col("ax") * F.col("bx")).alias("dot"))
+        .select(
+            "_a",
+            "_al",
+            "_b",
+            "_bl",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc + p,
+            ).alias("dot"),
+        )
     )
     w = Window.partitionBy("_a").orderBy(F.col("dot").desc(), "_b")
     return (
