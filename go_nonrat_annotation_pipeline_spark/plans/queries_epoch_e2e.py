@@ -110,9 +110,10 @@ def corpus_epoch_e2e(spark, sf_dir):
             "shard",
             F.coalesce(
                 F.sum("_st").over(
-                    Window.orderBy("shard").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    # n_shards rows: constant-partition convention
+                    Window.partitionBy(F.col("shard") % 1)
+                    .orderBy("shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ).alias("_soff"),
