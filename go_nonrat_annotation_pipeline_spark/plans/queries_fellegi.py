@@ -176,8 +176,13 @@ def _weight_row(rec):
     )
 
 
-def _scored_pairs(spark, sf_dir):
-    rec = _records(spark, sf_dir).localCheckpoint()
+def _scored_pairs(spark, sf_dir, rec=None):
+    # r13 optimization: callers that already materialized the records
+    # table pass it in — the linkage E2E used to checkpoint _records
+    # twice (once itself, once here), paying the pick_mode aggregates
+    # and the group-by twice per build
+    if rec is None:
+        rec = _records(spark, sf_dir).localCheckpoint()
     pairs = qgram_fuzzy_pairs(rec, "nid", F.col("name"), max_dist=_MAXD)
     a = rec.select(
         F.col("nid").alias("id_a"),

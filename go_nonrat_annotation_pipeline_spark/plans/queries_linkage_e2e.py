@@ -92,7 +92,7 @@ def q_probabilistic_linkage_e2e(spark, sf_dir):
 
     rec = _records(spark, sf_dir).localCheckpoint()
     matches = (
-        _scored_pairs(spark, sf_dir)
+        _scored_pairs(spark, sf_dir, rec=rec)
         .where(F.col("verdict") == "match")
         .select("id_a", "id_b")
     )
