@@ -78,15 +78,21 @@ from .registry import register
 )
 def stream_assoc_rules(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    empty_i = spark.createDataFrame([], "p long, sup long")
-    empty_p = spark.createDataFrame(
-        [], "pa long, pb long, sup_ab long"
+    # r13 optimization: the three additive statistics (basket count,
+    # item supports, pair supports) fold through ONE kind-tagged state
+    # frame — the old form ran THREE actions per trigger (a driver
+    # count plus two separate union+groupBy+checkpoint folds); this
+    # form runs ONE. Still true per-trigger incremental state
+    # maintenance (union + groupBy-sum over basket-complete batches),
+    # and every statistic is an exact integer sum, so the read-time
+    # split reproduces the old frames bit-for-bit. kind: 0 = item
+    # support (pa = item), 1 = pair support, 2 = basket count
+    # (pa = pb = -1, never a real item key — items are pmod 100).
+    empty = spark.createDataFrame(
+        [], "k int, pa long, pb long, sup long"
     )
-    state = {
-        "n": 0,
-        "isup": empty_i.localCheckpoint(),
-        "psup": empty_p.localCheckpoint(),
-    }
+    state = {"s": empty.localCheckpoint()}
+    neg1 = F.lit(-1).cast("long")
 
     def handle(batch_df, batch_id):
         if batch_df.isEmpty():
@@ -95,16 +101,26 @@ def stream_assoc_rules(spark, sf_dir):
             F.col("l_orderkey").alias("o"),
             (F.col("l_partkey") % 100).alias("p"),
         ).distinct()
-        state["n"] += items.select("o").distinct().count()
-        isup_b = items.groupBy("p").agg(
-            F.count(F.lit(1)).cast("long").alias("sup")
+        nb = (
+            items.select("o")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+            .select(
+                F.lit(2).alias("k"),
+                neg1.alias("pa"),
+                neg1.alias("pb"),
+                "sup",
+            )
         )
-        state["isup"] = (
-            state["isup"]
-            .unionByName(isup_b)
-            .groupBy("p")
-            .agg(F.sum("sup").cast("long").alias("sup"))
-            .localCheckpoint()
+        isup_b = (
+            items.groupBy("p")
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+            .select(
+                F.lit(0).alias("k"),
+                F.col("p").alias("pa"),
+                neg1.alias("pb"),
+                "sup",
+            )
         )
         a = items.select("o", F.col("p").alias("pa"))
         b = items.select("o", F.col("p").alias("pb"))
@@ -112,13 +128,16 @@ def stream_assoc_rules(spark, sf_dir):
             a.join(b, "o")
             .where(F.col("pa") < F.col("pb"))
             .groupBy("pa", "pb")
-            .agg(F.count(F.lit(1)).cast("long").alias("sup_ab"))
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+            .select(F.lit(1).alias("k"), "pa", "pb", "sup")
         )
-        state["psup"] = (
-            state["psup"]
+        state["s"] = (
+            state["s"]
+            .unionByName(nb)
+            .unionByName(isup_b)
             .unionByName(psup_b)
-            .groupBy("pa", "pb")
-            .agg(F.sum("sup_ab").cast("long").alias("sup_ab"))
+            .groupBy("k", "pa", "pb")
+            .agg(F.sum("sup").cast("long").alias("sup"))
             .localCheckpoint()
         )
 
@@ -157,12 +176,20 @@ def stream_assoc_rules(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-        n = state["n"]
-        freq = state["isup"].where(
+        st = state["s"]
+        nrow = st.where("k = 2").select("sup").collect()
+        n = int(nrow[0][0]) if nrow else 0
+        isup = st.where("k = 0").select(
+            F.col("pa").alias("p"), "sup"
+        )
+        psup = st.where("k = 1").select(
+            "pa", "pb", F.col("sup").alias("sup_ab")
+        )
+        freq = isup.where(
             F.col("sup") * _SUP_DEN >= F.lit(n) * _SUP_NUM
         )
         fpairs = (
-            state["psup"]
+            psup
             .where(
                 F.col("sup_ab") * _SUP_DEN >= F.lit(n) * _SUP_NUM
             )

@@ -58,18 +58,21 @@ def test_ann_gate_kernel_twin_uses_arrow_once(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_knn_exact_two_broadcast_joins_no_python(spark):
+def test_knn_exact_kernel_candidates_one_broadcast_join(spark):
+    # r13 optimization reshaped this plan: both exact passes run inside
+    # ONE Arrow kernel (operators/knn_kernel.topk_candidate_ids) that
+    # emits a provable superset of the top-k; the exact re-rank joins
+    # the (broadcast) bench once and ranks in a single vec_id window.
     from go_nonrat_annotation_pipeline_spark.plans.queries_knn_exact import (
         sim_knn_exact_cells,
     )
 
     plan = _plan(sim_knn_exact_cells(spark, SF))
-    # seed join + prune join, both against the broadcast bench cells
-    assert plan.count(") BroadcastHashJoin") >= 2
+    assert plan.count("ArrowEvalPython") == 2  # formatted prints twice
+    assert plan.count(") BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
-    assert "EvalPython" not in plan and "MapInPandas" not in plan
-    # the top-k rank window is the ONLY window (pass-1 threshold is an
-    # aggregate, not a per-candidate window); ") Window\n" avoids
+    assert "BatchEvalPython" not in plan  # vectorized only, never row-at-a-time
+    # the top-k rank window is the ONLY window; ") Window\n" avoids
     # matching the WindowGroupLimit pushdown node
     assert plan.count(") Window\n") == 1
 
