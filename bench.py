@@ -21,6 +21,15 @@ Next #3/#6):
   (Headline set stays single-session — 20 rows never showed the
   contamination, and its round-over-round comparability predates
   this policy.)
+- EFFECTIVE PARALLELISM (round 14, VERDICT r13 Next #2): the compact
+  JSON line and the full summary both carry ``parallelism`` =
+  ``spark.sparkContext.defaultParallelism`` so the driver's
+  ``$SPARK_GRAFT_CPUS`` probe can read the honored core count directly
+  instead of inferring it from per-query 8-vs-32 ratios. Those ratios
+  are ≈1 BY CONSTRUCTION on the headline set: every row is sub-2s at
+  sf0.1, where planner/scheduling fixed cost — not compute — dominates,
+  so core count cannot show there; the scaling signal lives in the
+  heavy extended rows.
 - EXTENDED BUDGET: the extended set grows ~13 rows/round and best-of-3
   on every heavy E2E would dominate the round's bench wall by r15.
   Budget rule: a row whose FIRST timed execution exceeds
@@ -386,6 +395,10 @@ def main():
             )
 
     total = round(sum(timings.values()), 3)
+    # effective parallelism of the session actually used (header policy:
+    # lets the driver's $SPARK_GRAFT_CPUS probe verify the contract
+    # directly; local[N] -> defaultParallelism == N)
+    parallelism = spark.sparkContext.defaultParallelism
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -393,6 +406,7 @@ def main():
         "queries": timings,
         "extended_queries": ext_timings,
         "sf": sf,
+        "parallelism": parallelism,
         "calibration": calibration,
         "plan_fingerprints": plans,
         "fingerprint_diff": fingerprint_diff,
@@ -421,6 +435,7 @@ def main():
         "sf": sf,
         "extended_total": round(sum(ext_timings.values()), 3),
         "extended_n": len(ext_timings),
+        "parallelism": parallelism,
         "calibration": calibration,
         "fingerprint_diff_n": len(fingerprint_diff),
         "load": [load_start, _loadavg()],

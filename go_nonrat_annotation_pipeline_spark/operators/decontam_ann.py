@@ -186,13 +186,15 @@ def compatible_cell_pairs(
     # per-pair Python loop — after a FIRED drain the cell table is
     # hundreds of cells and the O(C²) np.linalg.norm calls cost
     # seconds of pure driver time per build (measured 1.5s at C=700;
-    # the matmul form runs in milliseconds). The gram form's
-    # cancellation error (~3e-8 on near-zero distances) is dwarfed by
-    # the explicit _SLACK in the comparison and in every downstream
-    # use of the returned distance: a qualifying pair satisfies the
-    # bound with NO slack, so float deltas can only ADD harmless
-    # compat pairs, never drop one — candidate-superset-safe exactly
-    # as before.
+    # the matmul form runs in milliseconds). Float-safety: the gram
+    # form's cancellation error is TWO-SIDED (the computed d can land
+    # up to ~3e-8 above OR below the loop form's value near the
+    # bound), so it is the explicit _SLACK = 1e-6 headroom in the
+    # comparison — not any one-sidedness — that keeps the superset
+    # property: a qualifying pair satisfies the bound with NO slack,
+    # and a ±3e-8 delta cannot push it past bound + 1e-6, so no
+    # qualifying pair is ever dropped; spurious compat pairs the
+    # slack admits are harmless (candidates die at the exact re-rank).
     if not cells:
         return []
     C = np.asarray([np.asarray(cv, dtype=np.float64) for _, cv, _ in cells])

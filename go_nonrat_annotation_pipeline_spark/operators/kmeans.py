@@ -50,7 +50,22 @@ def _round9_cosine_lt1(a: list[float], b: list[float]) -> bool:
     nb = 0.0
     for y in b:
         nb = nb + y * y
-    c = dot / (math.sqrt(na) * math.sqrt(nb))
+    den = math.sqrt(na) * math.sqrt(nb)
+    if den == 0.0:
+        # IEEE division the JVM expression performed: 0/0 -> NaN,
+        # ±x/0 -> ±Inf (Python float / raises instead — ADVICE r13)
+        c = float("nan") if dot == 0.0 else math.copysign(
+            float("inf"), dot
+        )
+    else:
+        c = dot / den
+    if math.isnan(c):
+        # JVM: round(NaN, 9) < 1.0 is simply FALSE; Decimal('nan')
+        # .quantize would raise InvalidOperation (ADVICE r13)
+        return False
+    if math.isinf(c):
+        # JVM: round(±Inf, 9) = ±Inf; -Inf < 1.0 is true
+        return c < 1.0
     return Decimal(repr(c)).quantize(
         Decimal("1e-9"), rounding=ROUND_HALF_UP
     ) < Decimal(1)
@@ -155,7 +170,20 @@ def kmeans_fit(
             for m in mean:
                 acc = acc + m * m
             nrm = math.sqrt(acc)
-            new_cv = [m / nrm for m in mean]
+            if nrm == 0.0:
+                # IEEE division the replaced JVM expressions performed
+                # on a zero-vector mean: 0/0 -> NaN, ±x/0 -> ±Inf —
+                # Python float / would raise ZeroDivisionError and
+                # crash a degenerate-but-previously-survivable fit
+                # (ADVICE r13)
+                new_cv = [
+                    float("nan")
+                    if m == 0.0
+                    else math.copysign(float("inf"), m)
+                    for m in mean
+                ]
+            else:
+                new_cv = [m / nrm for m in mean]
             new_rows.append((cid, new_cv))
             if early_stop and not moved:
                 moved = _round9_cosine_lt1(cv, new_cv)

@@ -89,6 +89,13 @@ def _bench_arrays(
     M = np.asarray(
         [np.asarray(v, dtype=np.float64) for _, v in bench_rows]
     )
+    # true-zero-norm members never trip the non-finite fallback (the
+    # 1e-300 clamp keeps their kernel cosine finite at 0) yet their
+    # EXACT expression cosine is NaN, which Spark ranks ABOVE every
+    # number in a descending sort and compares >= any threshold — so
+    # they must ALWAYS be emitted as candidates or the superset
+    # guarantee breaks on that edge case (ADVICE r13)
+    mzero = np.linalg.norm(M, axis=1) == 0.0
     Mn = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
     C = np.asarray(
         [np.asarray(cv, dtype=np.float64) for _, cv, _ in cells]
@@ -107,7 +114,7 @@ def _bench_arrays(
             )
     cosphi = np.clip(1.0 - (res * res) / 2.0, -1.0, 1.0)
     sinphi = np.sqrt(np.maximum(0.0, 1.0 - cosphi * cosphi))
-    return ids, M, Mn, C, mcell, occ, cosphi, sinphi
+    return ids, M, Mn, C, mcell, occ, cosphi, sinphi, mzero
 
 
 def driver_train_sample(
@@ -154,7 +161,7 @@ def topk_candidate_ids(
 
     @pandas_udf("array<long>")
     def cand(v: pd.Series) -> pd.Series:
-        ids, M, Mn, C, mcell, occ, cosphi, sinphi = bc.value
+        ids, M, Mn, C, mcell, occ, cosphi, sinphi, mzero = bc.value
         B = len(ids)
         if len(v) == 0:
             return pd.Series([], dtype="object")
@@ -162,15 +169,21 @@ def topk_candidate_ids(
         out: list[list[int]] = []
         all_ids = ids.tolist()
         with np.errstate(all="ignore"):
+            # zero-norm corpus rows: kernel cosines are clamped-finite
+            # but the exact cosine is NaN — degrade to all-ids so the
+            # exact stage decides (ADVICE r13)
+            xzero = np.linalg.norm(X, axis=1) == 0.0
             xn = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
             for lo, hi in _chunks(len(X), B):
                 Xc = X[lo:hi]
                 xnc = xn[lo:hi, None]
                 cd = (Xc @ C.T) / xnc  # (n, K) centroid cosines
                 D = (Xc @ M.T) / xnc / Mn[None, :]  # (n, B) member cos
-                finite = np.isfinite(D).all(axis=1) & np.isfinite(
-                    cd
-                ).all(axis=1)
+                finite = (
+                    np.isfinite(D).all(axis=1)
+                    & np.isfinite(cd).all(axis=1)
+                    & ~xzero[lo:hi]
+                )
                 # seed pass: nearest cells (stable sort → lowest cid on
                 # ties) until cumulative occupancy reaches k
                 order = np.argsort(-cd, axis=1, kind="stable")
@@ -212,7 +225,9 @@ def topk_candidate_ids(
                         :, B - kk
                     ]
                     keep_at[enough_p] = kth_p - _TIE_MARGIN
-                keep = pmask & (D >= keep_at[:, None])
+                # zero-norm bench members always emitted (module note:
+                # their NaN exact cosine outranks every number)
+                keep = (pmask & (D >= keep_at[:, None])) | mzero[None, :]
                 for i in range(len(Xc)):
                     if not finite[i]:
                         out.append(all_ids)
@@ -241,7 +256,7 @@ def gate_candidate_ids(
 
     @pandas_udf("array<long>")
     def cand(v: pd.Series) -> pd.Series:
-        ids, M, Mn, C, mcell, occ, cosphi, sinphi = bc.value
+        ids, M, Mn, C, mcell, occ, cosphi, sinphi, mzero = bc.value
         B = len(ids)
         if len(v) == 0:
             return pd.Series([], dtype="object")
@@ -251,17 +266,24 @@ def gate_candidate_ids(
         out: list[list[int]] = []
         all_ids = ids.tolist()
         with np.errstate(all="ignore"):
+            # zero-norm handling as in topk_candidate_ids (ADVICE r13):
+            # NaN exact cosines compare >= any threshold in Spark
+            xzero = np.linalg.norm(X, axis=1) == 0.0
             xn = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
             for lo, hi in _chunks(len(X), B):
                 Xc = X[lo:hi]
                 xnc = xn[lo:hi, None]
                 cd = (Xc @ C.T) / xnc
                 D = (Xc @ M.T) / xnc / Mn[None, :]
-                finite = np.isfinite(D).all(axis=1) & np.isfinite(
-                    cd
-                ).all(axis=1)
+                finite = (
+                    np.isfinite(D).all(axis=1)
+                    & np.isfinite(cd).all(axis=1)
+                    & ~xzero[lo:hi]
+                )
                 probed = cd >= smin[None, :]
-                keep = probed[:, mcell] & (D >= th - _TIE_MARGIN)
+                keep = (
+                    probed[:, mcell] & (D >= th - _TIE_MARGIN)
+                ) | mzero[None, :]
                 for i in range(len(Xc)):
                     if not finite[i]:
                         out.append(all_ids)

@@ -35,29 +35,55 @@ degrade-to-brute regime): 4.4-4.8s -> 1.7-2.0s for the identical
 result set.
 
 REGIME BRANCH: the cogroup pays one pandas/Arrow group per compat
-pair, so it wins exactly when blocks are FEW and BIG (the <= k*k
-unfired-cell regime). After a FIRED drain the cell table is hundreds
-of cells and the compat table tens of thousands of rows — ~C^2 tiny
-groups whose per-group constant dominates (measured 9.8s -> 42.5s on
-dedup_embedding_exact_pairs_drained_hot at sf0.1, 4.3x SLOWER than
-the row-per-pair join). Above _MAX_BLOCKS compat rows this module
-therefore emits the classic broadcast row-per-pair candidate join
-(with the lossless per-row residual tightening) — both branches yield
-(vec_id_a, vec_id_b, va, vb), so callers are agnostic to the branch.
+pair, so per-cell blocks win exactly when they are FEW and BIG (the
+<= k*k unfired-cell regime). After a FIRED drain the cell table is
+hundreds of cells and the compat table tens of thousands of rows —
+~C^2 tiny groups whose per-group constant dominates (measured
+9.8s -> 42.5s on dedup_embedding_exact_pairs_drained_hot at sf0.1,
+4.3x SLOWER than even the row-per-pair join). Above _MAX_BLOCKS
+compat rows this module therefore COARSENS the blocking instead of
+abandoning it (r14, VERDICT r13 Next #1): cells are bucketed into
+G = ceil(sqrt(C)) SUPER-GROUPS and the cogroup keys on the group
+pair, so Arrow groups are few (<= G^2 ~ C, not C^2) and big again
+while each member row fans out at most G times (the row-per-pair
+fallback fanned every row out once per compatible PARTNER CELL —
+~2M candidate rows each carrying two 64-dim vectors at sf0.1 hot).
+The superset proof transfers unchanged: a qualifying pair's cells
+are compat (ball bound), so its GROUP pair is formed, the pair's
+kernel cosine clears t - _SLACK inside that one block, and the
+id-order mask emits each unordered pair exactly once (same
+both-directions canonicalization as the per-cell form). Entries of
+a super-block that belong to non-compat cell pairs are merely extra
+computed dots — anything they emit above t - _SLACK is re-ranked by
+the caller's oracle-exact cosine, so results are branch-agnostic.
+Both branches yield (vec_id_a, vec_id_b, va, vb).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .decontam_ann import _SLACK, compatible_cell_pairs, pair_radius
+from .decontam_ann import _SLACK, compatible_cell_pairs
 
-# Cogroup-vs-join crossover: 64 all-compatible cells emit 64*63 + 64
-# = 4096 compat rows, so the bound admits the whole unfired-drain
-# regime (k <= 64 everywhere in this family) and nothing denser.
+# Per-cell-vs-super-group blocking crossover: 64 all-compatible cells
+# emit 64*63 + 64 = 4096 compat rows, so the bound admits the whole
+# unfired-drain regime (k <= 64 everywhere in this family) at per-cell
+# granularity and coarsens anything denser into super-groups.
 _MAX_BLOCKS = 4100
+
+
+def _cell_groups(cell_ids: list[int], n_groups: int) -> dict[int, int]:
+    """cell id -> super-group id: contiguous chunks of the sorted id
+    list. Deterministic; the grouping steers BLOCKING only (which dots
+    are computed together), never results — the kernel threshold mask
+    decides emission and the caller re-ranks exactly."""
+    ids = sorted(cell_ids)
+    chunk = -(-len(ids) // max(n_groups, 1))
+    return {cid: i // chunk for i, cid in enumerate(ids)}
 
 
 def block_candidate_pairs(
@@ -82,9 +108,10 @@ def block_candidate_pairs(
     side B on cb with the id-order mask yields each unordered pair
     exactly once — the same canonicalization as the row-per-pair join.
 
-    ``assigned`` must also carry a ``res`` column (the residual to the
-    assigned centroid) — the dense-compat fallback branch prunes with
-    it (module doc REGIME BRANCH).
+    ``assigned`` may carry a ``res`` column (the residual to the
+    assigned centroid); since r14 neither branch consumes it — the
+    kernel threshold mask subsumes the old fallback branch's per-row
+    residual tightening by computing the actual cosines.
 
     Self-join only: the incremental delta legs (ALL x NEW, NEW x OLD in
     queries_dedup_exact_incr) measured 1.25x SLOWER through this
@@ -93,9 +120,6 @@ def block_candidate_pairs(
     never does — so that module keeps the direct form.
     """
     spark = assigned.sparkSession
-    # one O(C^2) driver pass serves both branches (with hundreds of
-    # drained cells a second pass is seconds of pure-Python distance
-    # math)
     compat_d = compatible_cell_pairs(full_cells, threshold, with_dist=True)
     if not compat_d:
         return spark.createDataFrame(
@@ -104,43 +128,40 @@ def block_candidate_pairs(
             "va array<double>, vb array<double>",
         )
     if len(compat_d) > _MAX_BLOCKS:
-        # fired-drain regime: hundreds of cells -> per-group overhead
-        # would dominate the cogroup; the classic broadcast
-        # row-per-pair join with the lossless per-row residual
-        # tightening instead, vectors carried straight through
-        compat = spark.createDataFrame(
-            compat_d, "ca long, cb long, dctr double"
-        )
-        a = assigned.select(
-            F.col(id_col).alias("vec_id_a"),
-            F.col(vec_col).alias("va"),
-            F.col(cell_col).alias("ca"),
-            F.col("res").alias("res_a"),
-        )
-        b = assigned.select(
-            F.col(id_col).alias("vec_id_b"),
-            F.col(vec_col).alias("vb"),
-            F.col(cell_col).alias("cb"),
-            F.col("res").alias("res_b"),
-        )
-        return (
-            a.join(F.broadcast(compat), "ca")
-            .join(b, "cb")
-            .where(F.col("vec_id_a") < F.col("vec_id_b"))
-            .where(
-                F.col("dctr")
-                <= F.col("res_a")
-                + F.lit(pair_radius(threshold) + 1e-6)
-                + F.col("res_b")
-            )
-            .select("vec_id_a", "vec_id_b", "va", "vb")
-        )
-    compat_rows = [(int(a), int(b)) for a, b, _ in compat_d]
+        # fired-drain regime (r14): coarsen to super-group blocks —
+        # module doc REGIME BRANCH. Keys are (ga, gb) group pairs
+        # derived from the compat pairs; each cell maps to the block
+        # keys its group participates in, so a member row fans out at
+        # most G = ceil(sqrt(C)) times instead of once per compatible
+        # partner cell.
+        ids_all = [int(cid) for cid, _, _ in full_cells]
+        g = _cell_groups(ids_all, math.ceil(math.sqrt(len(ids_all))))
+        super_pairs = sorted({(g[ca], g[cb]) for ca, cb, _ in compat_d})
+        by_ga: dict[int, list[int]] = {}
+        by_gb: dict[int, list[int]] = {}
+        for ga, gb in super_pairs:
+            by_ga.setdefault(ga, []).append(gb)
+            by_gb.setdefault(gb, []).append(ga)
+        key_rows_l = [
+            (cid, g[cid], gb)
+            for cid in ids_all
+            for gb in by_ga.get(g[cid], [])
+        ]
+        key_rows_r = [
+            (cid, ga, g[cid])
+            for cid in ids_all
+            for ga in by_gb.get(g[cid], [])
+        ]
+    else:
+        # unfired regime: per-cell blocks, keyed on the compat pair
+        # itself (ca, cb) — few and big by the k <= 64 bound
+        key_rows_l = [(int(a), int(a), int(b)) for a, b, _ in compat_d]
+        key_rows_r = [(int(b), int(a), int(b)) for a, b, _ in compat_d]
     # two independent frames from the same driver-side list: lhs and
-    # rhs must not share the compat lineage or the cogroup trips the
+    # rhs must not share the key lineage or the cogroup trips the
     # ambiguous-self-join analyzer check
-    compat_l = spark.createDataFrame(compat_rows, "ca long, cb long")
-    compat_r = spark.createDataFrame(compat_rows, "ca long, cb long")
+    keys_l = spark.createDataFrame(key_rows_l, "c long, ca long, cb long")
+    keys_r = spark.createDataFrame(key_rows_r, "c long, ca long, cb long")
     la = assigned.select(
         F.col(id_col).alias("_lid"),
         F.col(vec_col).alias("_lv"),
@@ -152,10 +173,10 @@ def block_candidate_pairs(
         F.col(cell_col).alias("_rc"),
     )
     lhs = la.join(
-        F.broadcast(compat_l), la["_lc"] == F.col("ca")
+        F.broadcast(keys_l), la["_lc"] == F.col("c")
     ).select("ca", "cb", F.col("_lid").alias("vid"), F.col("_lv").alias("v"))
     rhs = ra.join(
-        F.broadcast(compat_r), ra["_rc"] == F.col("cb")
+        F.broadcast(keys_r), ra["_rc"] == F.col("c")
     ).select("ca", "cb", F.col("_rid").alias("vid"), F.col("_rv").alias("v"))
 
     t_eff = threshold - _SLACK

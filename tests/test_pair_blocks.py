@@ -96,21 +96,49 @@ def test_cogroup_branch_matches_brute_force(spark):
     assert _final(cand, _TH) == _exact_pairs(rows, _TH)
 
 
-def test_dense_fallback_branch_matches_brute_force(spark):
+def test_dense_superblock_branch_matches_brute_force(spark):
     # enough mutually-compatible cells to exceed _MAX_BLOCKS: unclustered
     # unit vectors keep every cell pair compatible, so k cells emit
-    # ~k^2 compat rows
+    # ~k^2 compat rows — the fired-drain regime, which since r14 runs
+    # the SAME cogroup kernel over ceil(sqrt(C)) super-group blocks
+    # (VERDICT r13 Next #1) instead of the row-per-pair join
     k = 70
     rows = _vecs(11, 300)
     _, cells = build_bench_cells(rows[:260], k=k)
     cent_rows = [(cid, cv) for cid, cv, _ in cells]
     assigned = _assigned(spark, rows, cent_rows)
     fc = _full_cells(assigned, cent_rows)
-    assert len(compatible_cell_pairs(fc, _TH)) > _MAX_BLOCKS
+    n_compat = len(compatible_cell_pairs(fc, _TH))
+    assert n_compat > _MAX_BLOCKS
     cand = block_candidate_pairs(assigned, fc, _TH)
     plan = cand._jdf.queryExecution().toString()
-    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    # each unordered pair must be emitted exactly once (duplicate
+    # candidate rows would become duplicate RESULT rows downstream)
+    pairs = [
+        (r[0], r[1])
+        for r in cand.select("vec_id_a", "vec_id_b").collect()
+    ]
+    assert len(pairs) == len(set(pairs))
     assert _final(cand, _TH) == _exact_pairs(rows, _TH)
+
+
+def test_superblock_grouping_bounds_block_count(spark):
+    # the whole point of the coarse branch: <= G^2 ~ C blocks, never C^2
+    import math
+
+    from go_nonrat_annotation_pipeline_spark.operators.pair_blocks import (
+        _cell_groups,
+    )
+
+    ids = list(range(1, 701))
+    g = _cell_groups(ids, math.ceil(math.sqrt(len(ids))))
+    assert set(g) == set(ids)
+    n_groups = len(set(g.values()))
+    assert n_groups <= math.ceil(math.sqrt(700))
+    # dense compat (every pair both directions) collapses to <= G^2
+    super_pairs = {(g[a], g[b]) for a in ids[:80] for b in ids[:80]}
+    assert len(super_pairs) <= n_groups * n_groups
 
 
 def test_empty_cells_yield_empty_frame(spark):

@@ -53,7 +53,11 @@ def test_ann_gate_kernel_twin_uses_arrow_once(spark):
     )
 
     plan = _plan(q_semantic_decontam_ann_kernel(spark, SF))
-    assert plan.count("ArrowEvalPython") == 2  # formatted prints nodes twice
+    # presence of the Arrow kernel + absence of row-at-a-time Python:
+    # an exact print count is brittle across Spark plan-format versions
+    # (ADVICE r13)
+    assert plan.count("ArrowEvalPython") >= 1
+    assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -68,7 +72,7 @@ def test_knn_exact_kernel_candidates_one_broadcast_join(spark):
     )
 
     plan = _plan(sim_knn_exact_cells(spark, SF))
-    assert plan.count("ArrowEvalPython") == 2  # formatted prints twice
+    assert plan.count("ArrowEvalPython") >= 1  # exact count is format-brittle
     assert plan.count(") BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan  # vectorized only, never row-at-a-time
